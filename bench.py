@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Training-throughput benchmark (single chip).
+
+Measures edges/s/chip of the jitted SegmentClassifier training step in the
+reference's ACTS mu10 headline config — hidden 32, 4 message-passing
+iterations, batch 32 (`MPNN_Seg_ACTS.ipynb:cell16,23`) — on synthetic
+mu10-scale graphs (100 nodes / 900 candidate edges per event, heavier than
+the reference's sectored mu10 graphs, so the comparison is conservative).
+
+Baseline: the reference trains ~55 graphs/s in this config on its GPU
+(0.29 s/epoch over 512 graphs, `MPNN_Seg_ACTS.ipynb:cell23`; BASELINE.md).
+``vs_baseline`` = our graphs/s / 55.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from gnn_fpga_tpu.data import toy2d
+    from gnn_fpga_tpu.models import mpnn
+    from gnn_fpga_tpu.train.trainer import Trainer, TrainConfig
+
+    # mu10-scale synthetic graphs: 10 tracks x 10 layers
+    n_layers, n_tracks, batch = 10, 10, 32
+    cfg = toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks, seed=0)
+    g = toy2d.make_segment_graphs(cfg, batch)
+    batch_graph = jax.tree.map(jnp.asarray, g)
+    edges_per_graph = int(np.asarray(g.edge_mask).sum() / batch)
+
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=32, n_iters=4)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
+    import io, contextlib
+    with contextlib.redirect_stdout(io.StringIO()):
+        tr = Trainer(
+            lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
+            params, TrainConfig())
+
+    # Compile + warm-up
+    p, o = tr.params, tr.opt_state
+    for _ in range(3):
+        p, o, loss = tr._train_step(p, o, batch_graph)
+    jax.block_until_ready(loss)
+
+    n_steps = 200
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p, o, loss = tr._train_step(p, o, batch_graph)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    graphs_per_s = n_steps * batch / dt
+    edges_per_s = graphs_per_s * edges_per_graph
+    print(json.dumps({
+        "metric": "train_edges_per_s_per_chip_mu10_h32_i4_b32",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(graphs_per_s / 55.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Static-shape batching for variable-size graphs.
+
+The reference pads each batch to its own max (`merge_graphs`,
+`/root/reference/gnn/trainSegmentClassifier.py:66-95`) — fine for eager
+PyTorch, poison for XLA (every new shape recompiles).  Here batches are
+padded to *fixed bucket shapes* chosen once from the dataset, so the jitted
+train step compiles exactly once per bucket.
+
+``batch_generator`` reproduces the reference's infinite epoch generator
+(`trainSegmentClassifier.py:97-111`) with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gnn_fpga_tpu.core.graph import Graph, batch_graphs, pack_graphs, unbatch_graphs
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    """Static (n_node, n_edge) pad targets for one size bucket."""
+    n_node: int
+    n_edge: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def choose_bucket(graphs: Sequence[Graph], node_multiple: int = 8,
+                  edge_multiple: int = 128) -> BucketSpec:
+    """One bucket covering every graph, rounded up to TPU-friendly multiples
+    (lanes=128 on the edge axis, sublanes=8 on the node axis); +1 node slot
+    is reserved as the zero-feature pad node."""
+    max_n = max(int(np.asarray(g.x).shape[0]) for g in graphs) + 1
+    max_e = max(int(np.asarray(g.senders).shape[0]) for g in graphs)
+    return BucketSpec(_round_up(max_n, node_multiple),
+                      max(_round_up(max_e, edge_multiple), edge_multiple))
+
+
+def choose_buckets(graphs: Sequence[Graph], n_buckets: int,
+                   node_multiple: int = 8, edge_multiple: int = 128) -> List[BucketSpec]:
+    """Quantile-based size buckets over edge count; each bucket's spec covers
+    its members.  Cuts padding waste on heavy-tailed size distributions
+    (mu200 full events) at the cost of one compile per bucket."""
+    sizes = np.array([int(np.asarray(g.senders).shape[0]) for g in graphs])
+    qs = np.quantile(sizes, np.linspace(0, 1, n_buckets + 1)[1:])
+    specs = []
+    for i, hi in enumerate(qs):
+        lo = 0 if i == 0 else qs[i - 1]
+        members = [g for g, s in zip(graphs, sizes) if (s <= hi and (i == 0 or s > lo))]
+        if members:
+            specs.append(choose_bucket(members, node_multiple, edge_multiple))
+    return specs
+
+
+def assign_bucket(g: Graph, specs: Sequence[BucketSpec]) -> BucketSpec:
+    n = int(np.asarray(g.x).shape[0]) + 1
+    e = int(np.asarray(g.senders).shape[0])
+    for spec in sorted(specs, key=lambda s: s.n_edge):
+        if n <= spec.n_node and e <= spec.n_edge:
+            return spec
+    raise ValueError(f"no bucket fits graph with {n - 1} nodes / {e} edges")
+
+
+def batch_generator(
+    graphs: Sequence[Graph],
+    batch_size: int,
+    bucket: Optional[BucketSpec] = None,
+    shuffle: bool = True,
+    seed: int = 0,
+    packed: bool = False,
+) -> Iterator[Graph]:
+    """Infinite generator of static-shape batches.
+
+    ``packed=False`` yields a batched Graph ``[B, ...]`` (vmapped models);
+    ``packed=True`` yields one flat packed graph of ``B`` events (single
+    segment-sum — preferred on TPU).
+
+    ``graphs`` may be a list of single graphs or one already-batched Graph
+    (as the toy generators return) — the latter is split first.
+    """
+    if isinstance(graphs, Graph):
+        graphs = unbatch_graphs(graphs)
+    if bucket is None:
+        bucket = choose_bucket(graphs)
+    rng = np.random.default_rng(seed)
+    idx = np.arange(len(graphs))
+    n_batches = len(graphs) // batch_size
+    if n_batches == 0:
+        raise ValueError("fewer graphs than batch_size")
+    while True:
+        if shuffle:
+            rng.shuffle(idx)
+        for b in range(n_batches):
+            chunk = [graphs[i] for i in idx[b * batch_size:(b + 1) * batch_size]]
+            if packed:
+                yield pack_graphs(chunk,
+                                  n_node=bucket.n_node * batch_size,
+                                  n_edge=bucket.n_edge * batch_size)
+            else:
+                yield batch_graphs(chunk, bucket.n_node, bucket.n_edge)
+
+
+def n_batches_per_epoch(n_graphs: int, batch_size: int) -> int:
+    return n_graphs // batch_size

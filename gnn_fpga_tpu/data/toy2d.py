@@ -1,0 +1,146 @@
+"""Toy2D synthetic tracking data — deterministic-geometry test fixture.
+
+Vectorised re-design of the reference's toy generator
+(`/root/reference/gnn/MPNN_Seg_Toy2D.ipynb:cell4,7,8,11,12` and
+`GCN_Toy2D.ipynb:cell4,17`): straight tracks crossing ``n_layers`` 1-D
+detector layers at radii ``det_r``; hits on each layer are sorted by
+position.  Every toy event shares the same edge topology (all hit pairs on
+adjacent layers), so graphs have naturally static shapes — ideal XLA food.
+
+Used as: unit-test fixture (known ground truth), convergence benchmark
+(reference test accuracy 0.986, `MPNN_Seg_Toy2D.ipynb:cell23`), and
+synthetic stand-in for detector data in throughput benchmarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from gnn_fpga_tpu.core.graph import Graph
+
+
+@dataclasses.dataclass(frozen=True)
+class Toy2DConfig:
+    n_layers: int = 10
+    n_tracks: int = 4
+    det_r: Optional[np.ndarray] = None  # default: arange(n_layers)
+    seed: int = 0
+
+    def radii(self) -> np.ndarray:
+        if self.det_r is not None:
+            return np.asarray(self.det_r, dtype=np.float32)
+        return np.arange(self.n_layers, dtype=np.float32)
+
+
+def gen_tracks(rng: np.random.Generator, n: int, det_r: np.ndarray) -> np.ndarray:
+    """n straight tracks: uniform entry/exit x in [0,1), linear in r.
+
+    Returns hit x-coordinates with shape (n, n_layers)
+    (`MPNN_Seg_Toy2D.ipynb:cell4` gen_tracks).
+    """
+    xin = rng.uniform(size=n).astype(np.float32)
+    xout = rng.uniform(size=n).astype(np.float32)
+    slopes = (xout - xin) / (det_r[-1] - det_r[0])
+    return np.outer(slopes, det_r) + xin[:, None]
+
+
+def generate_events(cfg: Toy2DConfig, n_events: int):
+    """Generate toy events fully vectorised.
+
+    Returns (x, y, r, l) each of shape (n_events, n_layers * n_tracks):
+    hit position, track label, layer radius, layer index — hits sorted by
+    position within each layer (`cell4` generate_data + `cell8` flattening).
+    """
+    rng = np.random.default_rng(cfg.seed)
+    det_r = cfg.radii()
+    nl, nt = cfg.n_layers, cfg.n_tracks
+    # (n_events, n_tracks, n_layers)
+    tracks = np.stack(
+        [gen_tracks(rng, n_events, det_r) for _ in range(nt)], axis=1
+    )
+    # Sort hits within each layer by position; argsort index = track label.
+    idx = np.argsort(tracks, axis=1)
+    i0 = np.arange(n_events)[:, None, None]
+    i2 = np.arange(nl)[None, None, :]
+    x = tracks[i0, idx, i2]                     # (ev, hit_in_layer, layer)
+    y = idx.astype(np.float32)
+    # to (ev, layer, hit) then flatten layers*hits
+    x = x.transpose(0, 2, 1).reshape(n_events, -1).astype(np.float32)
+    y = y.transpose(0, 2, 1).reshape(n_events, -1)
+    r = np.broadcast_to(np.repeat(det_r, nt)[None, :], x.shape).astype(np.float32)
+    l = np.broadcast_to(np.repeat(np.arange(nl), nt)[None, :], x.shape)
+    return x, y, r, l.astype(np.int32)
+
+
+def toy_edges(cfg: Toy2DConfig):
+    """The shared COO edge list: every hit pair on adjacent layers.
+
+    (senders, receivers) with senders on layer k, receivers on layer k+1 —
+    the shared ``Ri/Ro`` of `MPNN_Seg_Toy2D.ipynb:cell11`, kept sparse.
+    """
+    nl, nt = cfg.n_layers, cfg.n_tracks
+    hit_idx = np.arange(nl * nt).reshape(nl, nt)
+    senders, receivers = [], []
+    for k in range(nl - 1):
+        s, r = np.meshgrid(hit_idx[k], hit_idx[k + 1], indexing="ij")
+        senders.append(s.ravel())
+        receivers.append(r.ravel())
+    return (np.concatenate(senders).astype(np.int32),
+            np.concatenate(receivers).astype(np.int32))
+
+
+def make_segment_graphs(cfg: Toy2DConfig, n_events: int) -> Graph:
+    """Batched Graph for the segment-classification task.
+
+    Node features [x, r/r_max]; edge label = same track on both endpoints
+    (`cell12`: ``ey = (yi == yo)``).  Returns a batched Graph with leading
+    axis ``n_events`` and no padding (toy graphs are already static-shape).
+
+    The radius feature is scaled to [0, 1] — the reference's
+    ``feature_scale`` normalisation (`prepareGraphs.py:149-150`); without it
+    the tanh input layer saturates on deep-detector configs and training
+    flatlines at the base rate.
+    """
+    x, y, r, _ = generate_events(cfg, n_events)
+    senders, receivers = toy_edges(cfg)
+    n_edge = len(senders)
+    feats = np.stack([x, r / max(r.max(), 1e-9)], axis=-1)   # (ev, N, 2)
+    ey = (y[:, senders] == y[:, receivers]).astype(np.float32)
+    n_node = cfg.n_layers * cfg.n_tracks
+    return Graph(
+        x=feats,
+        senders=np.broadcast_to(senders[None], (n_events, n_edge)).copy(),
+        receivers=np.broadcast_to(receivers[None], (n_events, n_edge)).copy(),
+        y=ey,
+        node_mask=np.ones((n_events, n_node), np.float32),
+        edge_mask=np.ones((n_events, n_edge), np.float32),
+    )
+
+
+def make_seeded_node_graphs(cfg: Toy2DConfig, n_events: int, seed_layers: int = 3) -> Graph:
+    """Batched Graph for the seeded hit-classification task (GCN workload).
+
+    Node features [x, r/r_max, seed] where seed marks the target track's
+    hits on the first ``seed_layers`` layers; node label = hit belongs to
+    track 0 (`GCN_Toy2D.ipynb:cell17`).
+    """
+    x, y, r, l = generate_events(cfg, n_events)
+    senders, receivers = toy_edges(cfg)
+    n_edge = len(senders)
+    y0 = (y == 0).astype(np.float32)
+    seed = np.where(l < seed_layers, y0, 0.0).astype(np.float32)
+    feats = np.stack([x, r / r.max(), seed], axis=-1)
+    ey = (y[:, senders] == y[:, receivers]).astype(np.float32)
+    n_node = cfg.n_layers * cfg.n_tracks
+    return Graph(
+        x=feats,
+        senders=np.broadcast_to(senders[None], (n_events, n_edge)).copy(),
+        receivers=np.broadcast_to(receivers[None], (n_events, n_edge)).copy(),
+        y=ey,
+        node_mask=np.ones((n_events, n_node), np.float32),
+        edge_mask=np.ones((n_events, n_edge), np.float32),
+        node_y=y0,
+    )

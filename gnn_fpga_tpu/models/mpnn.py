@@ -1,0 +1,307 @@
+"""Message-passing GNN models (interaction-network family), TPU-native.
+
+Re-designs the reference models (`/root/reference/gnn/model.py`,
+`MPNN_Seg_Toy2D.ipynb:cell14`, `MPNN_HitClassifier.ipynb:cell21`) as pure
+functions over parameter pytrees operating on COO :class:`~gnn_fpga_tpu.core.graph.Graph`s:
+
+- ``SegmentClassifier``  — edge (track-segment) classifier with weights
+  *shared* across message-passing iterations (`model.py:127-156`); the
+  recurrence is a ``lax.scan`` so XLA compiles one iteration body.
+- ``SegmentClassifierUnshared`` — per-iteration weights + separate output
+  edge network (`MPNN_Seg_Toy2D.ipynb:cell14`); scan over stacked params.
+- ``NodeClassifier``     — node (hit) classifier with a per-node sigmoid
+  output head (`MPNN_HitClassifier.ipynb:cell21`).
+
+Weight masking for iterative magnitude pruning (the reference's
+``MaskedLinear``, `model.py:14-33` / `model_maskedlinear.py:16-44`) is a
+*mask pytree* of the same structure as the params, applied as ``w * mask``
+inside each matmul — no special layer class needed.
+
+All dense compute runs through plain matmuls so XLA can fuse the tanh /
+sigmoid epilogues and tile onto the MXU.  Batching = ``jax.vmap`` over a
+leading axis, or pass one packed graph (preferred on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gnn_fpga_tpu.core.graph import Graph
+from gnn_fpga_tpu.ops import segment as ops
+
+Params = Any  # nested dict pytree of jnp arrays
+Masks = Any   # same structure as Params['...']['w'] leaves, or None
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32):
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weight and bias — the PyTorch
+    0.4 ``nn.Linear`` default, kept for training-dynamics parity with the
+    reference."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(in_dim, dtype=jnp.float32))
+    return {
+        "w": jax.random.uniform(kw, (in_dim, out_dim), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (out_dim,), dtype, -bound, bound),
+    }
+
+
+def _linear(p, x, mask=None):
+    w = p["w"] if mask is None else p["w"] * mask
+    return x @ w + p["b"]
+
+
+def init_edge_network(key, input_dim: int, hidden_dim: int, dtype=jnp.float32):
+    """Two-layer edge MLP: (2*input_dim -> hidden -> 1)  (`model.py:41-49`)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "l1": _init_linear(k1, 2 * input_dim, hidden_dim, dtype),
+        "l2": _init_linear(k2, hidden_dim, 1, dtype),
+    }
+
+
+def init_node_network(key, input_dim: int, output_dim: int, dtype=jnp.float32):
+    """Two-layer node MLP: (3*input_dim -> out -> out)  (`model.py:94-98`)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "l1": _init_linear(k1, 3 * input_dim, output_dim, dtype),
+        "l2": _init_linear(k2, output_dim, output_dim, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Edge / node network application
+# ---------------------------------------------------------------------------
+
+def edge_network_logits(
+    params, h, graph: Graph, masks: Masks = None, activation=jnp.tanh
+):
+    """Edge-score *logits* (pre-sigmoid) for every edge.
+
+    Reference: EdgeNetwork.forward (`model.py:69-81`) —
+    ``B = [h[senders], h[receivers]]`` -> Linear -> tanh -> Linear.
+    Returning logits lets the trainer use the numerically stable
+    sigmoid-BCE; apply ``jax.nn.sigmoid`` for the reference's probability
+    output.
+    """
+    b = ops.edge_concat(h, graph.senders, graph.receivers, graph.edge_mask)
+    m1 = None if masks is None else masks["l1"]
+    m2 = None if masks is None else masks["l2"]
+    z = activation(_linear(params["l1"], b, m1))
+    return _linear(params["l2"], z, m2)[..., 0]
+
+
+def edge_network(params, h, graph, masks=None, activation=jnp.tanh):
+    """Edge scores in (0,1) — sigmoid of :func:`edge_network_logits`."""
+    return jax.nn.sigmoid(edge_network_logits(params, h, graph, masks, activation))
+
+
+def node_network(
+    params, h, e, graph: Graph, masks: Masks = None, activation=jnp.tanh
+):
+    """New node features from edge-weighted neighbour aggregation.
+
+    Reference: NodeNetwork.forward (`model.py:113-125`) —
+    ``mi[n] = sum_{e: recv==n} e * h[send]``,
+    ``mo[n] = sum_{e: send==n} e * h[recv]``,
+    ``M = [mi, mo, h]`` -> Linear -> tanh -> Linear -> tanh.
+    """
+    n = h.shape[0]
+    em = graph.edge_mask
+    bo = ops.gather(h, graph.senders) * em[:, None]
+    bi = ops.gather(h, graph.receivers) * em[:, None]
+    mi = ops.weighted_segment_sum(bo, e, graph.receivers, n)
+    mo = ops.weighted_segment_sum(bi, e, graph.senders, n)
+    m = jnp.concatenate([mi, mo, h], axis=-1)
+    m1 = None if masks is None else masks["l1"]
+    m2 = None if masks is None else masks["l2"]
+    z = activation(_linear(params["l1"], m, m1))
+    return activation(_linear(params["l2"], z, m2))
+
+
+# ---------------------------------------------------------------------------
+# SegmentClassifier (shared weights across iterations)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SegmentClassifierConfig:
+    input_dim: int = 3
+    hidden_dim: int = 8
+    n_iters: int = 3
+    # activation applied in all hidden layers (reference default nn.Tanh)
+    activation: Callable = jnp.tanh
+    dtype: Any = jnp.float32
+
+
+def init_segment_classifier(key, cfg: SegmentClassifierConfig) -> Params:
+    """Params for the shared-weight SegmentClassifier (`model.py:128-138`)."""
+    k_in, k_e, k_n = jax.random.split(key, 3)
+    d = cfg.input_dim + cfg.hidden_dim
+    return {
+        "input": _init_linear(k_in, cfg.input_dim, cfg.hidden_dim, cfg.dtype),
+        "edge": init_edge_network(k_e, d, cfg.hidden_dim, cfg.dtype),
+        "node": init_node_network(k_n, d, cfg.hidden_dim, cfg.dtype),
+    }
+
+
+def segment_classifier_logits(
+    params: Params,
+    graph: Graph,
+    cfg: SegmentClassifierConfig,
+    masks: Optional[dict] = None,
+) -> jax.Array:
+    """Forward pass returning final edge logits.
+
+    Reference: SegmentClassifier.forward (`model.py:140-156`):
+    input MLP -> shortcut concat [H, X] -> n_iters x (edge net -> node net ->
+    shortcut concat) -> final edge net.  Weight sharing across iterations
+    becomes a ``lax.scan`` with a static body.
+    """
+    act = cfg.activation
+    x = graph.x
+    masks_e = None if masks is None else masks.get("edge")
+    masks_n = None if masks is None else masks.get("node")
+    h = act(_linear(params["input"], x))
+    h = jnp.concatenate([h, x], axis=-1)
+
+    def body(h, _):
+        e = edge_network(params["edge"], h, graph, masks_e, act)
+        h = node_network(params["node"], h, e, graph, masks_n, act)
+        h = jnp.concatenate([h, x], axis=-1)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters)
+    return edge_network_logits(params["edge"], h, graph, masks_e, act)
+
+
+def segment_classifier(params, graph, cfg, masks=None):
+    """Edge probabilities, matching the reference model's sigmoid output."""
+    return jax.nn.sigmoid(segment_classifier_logits(params, graph, cfg, masks))
+
+
+def segment_classifier_intermediates(params, graph, cfg, masks=None):
+    """Forward pass that also returns per-iteration (e, H) activations, for
+    the activation-parity gate and for the iteration-evolution plots
+    (`MPNN_Seg_ACTS.ipynb:cell39-46` ``graph_iter``)."""
+    act = cfg.activation
+    x = graph.x
+    masks_e = None if masks is None else masks.get("edge")
+    masks_n = None if masks is None else masks.get("node")
+    h = act(_linear(params["input"], x))
+    h = jnp.concatenate([h, x], axis=-1)
+    es, hs = [], [h]
+    for _ in range(cfg.n_iters):
+        e = edge_network(params["edge"], h, graph, masks_e, act)
+        h = node_network(params["node"], h, e, graph, masks_n, act)
+        h = jnp.concatenate([h, x], axis=-1)
+        es.append(e)
+        hs.append(h)
+    logits = edge_network_logits(params["edge"], h, graph, masks_e, act)
+    return jax.nn.sigmoid(logits), es, hs
+
+
+# ---------------------------------------------------------------------------
+# SegmentClassifierUnshared (per-iteration weights, Toy2D notebook variant)
+# ---------------------------------------------------------------------------
+
+def init_segment_classifier_unshared(key, cfg: SegmentClassifierConfig) -> Params:
+    """Per-iteration edge/node nets + separate output edge net
+    (`MPNN_Seg_Toy2D.ipynb:cell14` SegmentClassifier with ModuleLists).
+
+    The per-iteration params are *stacked* along a leading axis so the
+    forward pass can ``lax.scan`` over them.
+    """
+    k_in, k_out, *ks = jax.random.split(key, 2 + 2 * cfg.n_iters)
+    d = cfg.input_dim + cfg.hidden_dim
+    edge_ps = [init_edge_network(ks[2 * i], d, cfg.hidden_dim, cfg.dtype)
+               for i in range(cfg.n_iters)]
+    node_ps = [init_node_network(ks[2 * i + 1], d, cfg.hidden_dim, cfg.dtype)
+               for i in range(cfg.n_iters)]
+    stack = lambda ps: jax.tree.map(lambda *a: jnp.stack(a), *ps)
+    return {
+        "input": _init_linear(k_in, cfg.input_dim, cfg.hidden_dim, cfg.dtype),
+        "edge_stack": stack(edge_ps),
+        "node_stack": stack(node_ps),
+        "output": init_edge_network(k_out, d, cfg.hidden_dim, cfg.dtype),
+    }
+
+
+def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
+    act = cfg.activation
+    x = graph.x
+    h = act(_linear(params["input"], x))
+    h = jnp.concatenate([h, x], axis=-1)
+
+    def body(h, per_iter):
+        ep, np_ = per_iter
+        e = edge_network(ep, h, graph, None, act)
+        h = node_network(np_, h, e, graph, None, act)
+        h = jnp.concatenate([h, x], axis=-1)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, (params["edge_stack"], params["node_stack"]))
+    return edge_network_logits(params["output"], h, graph, None, act)
+
+
+def segment_classifier_unshared(params, graph, cfg, masks=None):
+    return jax.nn.sigmoid(segment_classifier_unshared_logits(params, graph, cfg, masks))
+
+
+# ---------------------------------------------------------------------------
+# NodeClassifier (hit classifier)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class NodeClassifierConfig:
+    input_dim: int = 4
+    hidden_dim: int = 8
+    n_iters: int = 1
+    activation: Callable = jnp.tanh
+    dtype: Any = jnp.float32
+
+
+def init_node_classifier(key, cfg: NodeClassifierConfig) -> Params:
+    """Shared-weight MPNN + per-node sigmoid head
+    (`MPNN_HitClassifier.ipynb:cell21`)."""
+    k_in, k_e, k_n, k_o = jax.random.split(key, 4)
+    d = cfg.input_dim + cfg.hidden_dim
+    return {
+        "input": _init_linear(k_in, cfg.input_dim, cfg.hidden_dim, cfg.dtype),
+        "edge": init_edge_network(k_e, d, cfg.hidden_dim, cfg.dtype),
+        "node": init_node_network(k_n, d, cfg.hidden_dim, cfg.dtype),
+        "output": _init_linear(k_o, d, 1, cfg.dtype),
+    }
+
+
+def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None):
+    act = cfg.activation
+    x = graph.x
+    masks_e = None if masks is None else masks.get("edge")
+    masks_n = None if masks is None else masks.get("node")
+    h = act(_linear(params["input"], x))
+    h = jnp.concatenate([h, x], axis=-1)
+
+    def body(h, _):
+        e = edge_network(params["edge"], h, graph, masks_e, act)
+        h = node_network(params["node"], h, e, graph, masks_n, act)
+        h = jnp.concatenate([h, x], axis=-1)
+        return h, None
+
+    h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters)
+    return _linear(params["output"], h)[..., 0]
+
+
+def node_classifier(params, graph, cfg, masks=None):
+    return jax.nn.sigmoid(node_classifier_logits(params, graph, cfg, masks))
+
+
+def count_params(params) -> int:
+    """Total parameter count (reference logs this at `estimator.py:43-44`)."""
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,141 @@
+"""Training-engine tests: convergence on Toy2D, checkpoint/resume, pruning
+rounds, L1 penalty — the notebook-as-integration-test strategy
+(SURVEY.md §4) encoded as pytest."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnn_fpga_tpu.core import graph as G
+from gnn_fpga_tpu.data import toy2d
+from gnn_fpga_tpu.models import mpnn
+from gnn_fpga_tpu.compress import pruning
+from gnn_fpga_tpu.train.trainer import Trainer, TrainConfig, l1_penalty
+
+
+def _toy_batches(n_events=256, batch=32, n_layers=4, n_tracks=3, seed=0):
+    cfg = toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks, seed=seed)
+    g = toy2d.make_segment_graphs(cfg, n_events)
+    def gen():
+        rng = np.random.default_rng(seed)
+        n = n_events // batch
+        while True:
+            order = rng.permutation(n_events)
+            for b in range(n):
+                sel = order[b * batch:(b + 1) * batch]
+                yield jax.tree.map(lambda a: a[sel], g)
+    return g, gen
+
+
+def test_toy2d_convergence():
+    """End-to-end slice: Toy2D -> jnp model -> jitted loop -> accuracy.
+
+    Reference achieves 0.986 with h=32/10 iters/2^15 events
+    (MPNN_Seg_Toy2D.ipynb:cell23); this scaled-down smoke config must
+    comfortably beat chance and reach >0.85 accuracy / >0.93 AUC."""
+    _, gen = _toy_batches(n_events=512, batch=32, n_layers=6, n_tracks=3)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=16, n_iters=3)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
+    tr = Trainer(lambda p, g, m: mpnn.segment_classifier_logits(p, g, mcfg, m),
+                 params, TrainConfig(learning_rate=5e-3))
+    tr.fit(gen(), n_batches=16, n_epochs=40)
+    m = tr.evaluate(gen(), 8)
+    assert m["accuracy"] > 0.85, m
+    assert m["auc"] > 0.93, m
+    assert tr.train_losses[-1] < tr.train_losses[0]
+
+
+def test_checkpoint_resume(tmp_path):
+    _, gen = _toy_batches(n_events=64, batch=16)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=8, n_iters=2)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(1), mcfg)
+    logits = lambda p, g, m: mpnn.segment_classifier_logits(p, g, mcfg, m)
+    tr = Trainer(logits, params, TrainConfig(), checkpoint_dir=str(tmp_path))
+    tr.fit(gen(), n_batches=4, n_epochs=3,
+           valid_generator=gen(), n_valid_batches=2)
+    assert tr.epoch == 3
+
+    # Fresh trainer restores and resumes epoch numbering (estimator.py:84-85)
+    params2 = mpnn.init_segment_classifier(jax.random.PRNGKey(2), mcfg)
+    tr2 = Trainer(logits, params2, TrainConfig(), checkpoint_dir=str(tmp_path))
+    assert tr2.load_checkpoint()
+    assert tr2.epoch == 3
+    np.testing.assert_allclose(np.asarray(tr2.params["input"]["w"]),
+                               np.asarray(tr.params["input"]["w"]))
+    tr2.fit(gen(), n_batches=4, n_epochs=1,
+            valid_generator=gen(), n_valid_batches=2)
+    assert tr2.epoch == 4
+    assert len(tr2.valid_losses) == 4
+
+
+def test_best_checkpoint_retained(tmp_path):
+    _, gen = _toy_batches(n_events=64, batch=16)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=8, n_iters=1)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(3), mcfg)
+    logits = lambda p, g, m: mpnn.segment_classifier_logits(p, g, mcfg, m)
+    tr = Trainer(logits, params, TrainConfig(), checkpoint_dir=str(tmp_path))
+    tr.fit(gen(), n_batches=4, n_epochs=2,
+           valid_generator=gen(), n_valid_batches=2)
+    assert tr.ckpt.exists(best=True)
+
+
+def test_l1_penalty_weights_only():
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=4, n_iters=1)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(4), mcfg)
+    pen = float(l1_penalty(params))
+    expect = sum(float(np.abs(np.asarray(params[m][l]["w"])).sum())
+                 for m in ("edge", "node") for l in ("l1", "l2"))
+    assert pen == pytest.approx(expect, rel=1e-6)
+    # input network excluded (estimator.py:50-53 collects node+edge nets only)
+    assert pen < sum(float(np.abs(a).sum()) for a in
+                     [np.asarray(x) for x in jax.tree.leaves(params)])
+
+
+def test_masked_training_keeps_zeros():
+    """Masked weights must stay exactly zero through optimisation — the
+    invariant of the pruning workflow (model_maskedlinear.py:19-30)."""
+    _, gen = _toy_batches(n_events=64, batch=16)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=8, n_iters=2)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(5), mcfg)
+    masked_params, masks = pruning.prune_round(params, threshold=0.1)
+    tr = Trainer(lambda p, g, m: mpnn.segment_classifier_logits(p, g, mcfg, m),
+                 masked_params, TrainConfig(l1=1e-4), masks=masks)
+    tr.fit(gen(), n_batches=4, n_epochs=2)
+    for mod in ("edge", "node"):
+        for layer in ("l1", "l2"):
+            w = np.asarray(tr.params[mod][layer]["w"])
+            m = np.asarray(masks[mod][layer])
+            np.testing.assert_array_equal(w[m == 0], 0.0)
+
+
+def test_load_weights_transplant():
+    """Trainer.load_weights applies masks to incoming weights
+    (estimator_maskedlinear.py:81-101)."""
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=8, n_iters=1)
+    dense = mpnn.init_segment_classifier(jax.random.PRNGKey(6), mcfg)
+    _, masks = pruning.prune_round(dense, threshold=0.1)
+    fresh = mpnn.init_segment_classifier(jax.random.PRNGKey(7), mcfg)
+    tr = Trainer(lambda p, g, m: mpnn.segment_classifier_logits(p, g, mcfg, m),
+                 fresh, TrainConfig(), masks=masks)
+    tr.load_weights(dense)
+    w = np.asarray(tr.params["edge"]["l1"]["w"])
+    m = np.asarray(masks["edge"]["l1"])
+    np.testing.assert_array_equal(w[m == 0], 0.0)
+    np.testing.assert_allclose(w[m == 1],
+                               np.asarray(dense["edge"]["l1"]["w"])[m == 1])
+
+
+def test_node_target_training():
+    cfg = toy2d.Toy2DConfig(n_layers=4, n_tracks=3, seed=1)
+    g = toy2d.make_seeded_node_graphs(cfg, 64, seed_layers=2)
+    def gen():
+        while True:
+            yield g
+    mcfg = mpnn.NodeClassifierConfig(input_dim=3, hidden_dim=8, n_iters=2)
+    params = mpnn.init_node_classifier(jax.random.PRNGKey(8), mcfg)
+    tr = Trainer(lambda p, gr, m: mpnn.node_classifier_logits(p, gr, mcfg, m),
+                 params, TrainConfig(target="node", learning_rate=5e-3))
+    tr.fit(gen(), n_batches=1, n_epochs=40)
+    m = tr.evaluate(gen(), 1)
+    assert m["accuracy"] > 0.8, m
+    assert m["auc"] > 0.8, m
