@@ -7,14 +7,18 @@ and copies to ``model_best`` when validation improves; loading restores the
 optimizer state and loss histories so ``fit`` resumes epoch numbering from
 ``len(train_losses)`` (`estimator.py:84-85`).
 
-Implemented on Orbax (async-capable, multi-host-safe) with a thin wrapper
-so callers never touch Orbax APIs directly.
+Array pytrees (params, optimizer state) go through Orbax (async-capable,
+multi-host-safe); scalar metadata and loss histories go to a JSON sidecar —
+histories grow every epoch, so they must not be part of the fixed-shape
+array state (and Orbax rejects zero-size arrays).
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Dict, Optional
+import shutil
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -28,6 +32,7 @@ except Exception:  # pragma: no cover
 
 _LATEST = "checkpoint"
 _BEST = "model_best"
+_META = "meta.json"
 
 
 def _to_numpy(tree):
@@ -46,39 +51,42 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
-    def save(self, state: Dict[str, Any], is_best: bool = False) -> None:
-        """``state`` is any pytree dict (params, opt_state, epoch, losses)."""
-        state = _to_numpy(state)
-        self._save_one(state, _LATEST)
+    def save(self, arrays: Dict[str, Any], meta: Dict[str, Any],
+             is_best: bool = False) -> None:
+        """``arrays``: pytrees of fixed-shape arrays (params, opt_state).
+        ``meta``: JSON-serialisable scalars/lists (epoch, histories)."""
+        arrays = _to_numpy(arrays)
+        self._save_one(arrays, meta, _LATEST)
         if is_best:
-            self._save_one(state, _BEST)
+            self._save_one(arrays, meta, _BEST)
 
-    def _save_one(self, state, name):
+    def _save_one(self, arrays, meta, name):
         path = self._path(name)
         if _HAVE_ORBAX:
             tmp = path + ".tmp"
             if os.path.exists(tmp):
-                import shutil
                 shutil.rmtree(tmp)
-            self._ckptr.save(tmp, state, force=True)
+            self._ckptr.save(tmp, arrays, force=True)
             self._ckptr.wait_until_finished()
+            with open(os.path.join(tmp, _META), "w") as f:
+                json.dump(meta, f)
             if os.path.exists(path):
-                import shutil
                 shutil.rmtree(path)
             os.replace(tmp, path)
-        else:  # flat-npz fallback
-            flat, treedef = jax.tree.flatten(state)
-            np.savez(path + ".npz", treedef=np.frombuffer(
-                repr(treedef).encode(), dtype=np.uint8), *flat)
+        else:  # pragma: no cover - orbax is in the base environment
+            raise RuntimeError("orbax unavailable")
 
-    def restore(self, template: Dict[str, Any], best: bool = False) -> Optional[Dict[str, Any]]:
-        """Restore into the structure of ``template``; None if absent."""
+    def restore(self, template: Dict[str, Any], best: bool = False
+                ) -> Optional[Tuple[Dict[str, Any], Dict[str, Any]]]:
+        """(arrays, meta) restored into ``template``'s structure; None if
+        absent."""
         path = self._path(_BEST if best else _LATEST)
         if not os.path.exists(path):
             return None
-        if _HAVE_ORBAX:
-            return self._ckptr.restore(path, _to_numpy(template))
-        raise RuntimeError("orbax unavailable and no npz fallback reader")
+        arrays = self._ckptr.restore(path, _to_numpy(template))
+        with open(os.path.join(path, _META)) as f:
+            meta = json.load(f)
+        return arrays, meta
 
     def exists(self, best: bool = False) -> bool:
         return os.path.exists(self._path(_BEST if best else _LATEST))

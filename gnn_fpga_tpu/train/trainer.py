@@ -255,31 +255,32 @@ class Trainer:
 
     # -- checkpointing -----------------------------------------------------
 
-    def _state_dict(self):
+    def _arrays(self):
+        return {"params": self.params, "opt_state": self.opt_state}
+
+    def _meta(self):
         return {
-            "epoch": np.int64(self.epoch),
-            "params": self.params,
-            "opt_state": self.opt_state,
-            "best_valid_loss": np.float64(self.best_valid_loss),
-            "train_losses": np.asarray(self.train_losses, np.float64),
-            "valid_losses": np.asarray(self.valid_losses, np.float64),
+            "epoch": self.epoch,
+            "best_valid_loss": self.best_valid_loss,
+            "train_losses": [float(x) for x in self.train_losses],
+            "valid_losses": [float(x) for x in self.valid_losses],
         }
 
     def save_checkpoint(self, is_best: bool) -> None:
         if self.ckpt is None:
             return
-        self.ckpt.save(self._state_dict(), is_best)
+        self.ckpt.save(self._arrays(), self._meta(), is_best)
 
     def load_checkpoint(self, best: bool = False) -> bool:
         """Restore params/opt state/histories (`estimator.py:73-78`)."""
         if self.ckpt is None or not self.ckpt.exists(best):
             return False
-        state = self.ckpt.restore(self._state_dict(), best)
-        self.params = jax.tree.map(jnp.asarray, state["params"])
-        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
-        self.best_valid_loss = float(state["best_valid_loss"])
-        self.train_losses = list(np.asarray(state["train_losses"]))
-        self.valid_losses = list(np.asarray(state["valid_losses"]))
+        arrays, meta = self.ckpt.restore(self._arrays(), best)
+        self.params = jax.tree.map(jnp.asarray, arrays["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, arrays["opt_state"])
+        self.best_valid_loss = float(meta["best_valid_loss"])
+        self.train_losses = list(meta["train_losses"])
+        self.valid_losses = list(meta["valid_losses"])
         return True
 
     def load_weights(self, params, apply_masks: bool = True):
