@@ -120,6 +120,56 @@ def make_segment_graphs(cfg: Toy2DConfig, n_events: int) -> Graph:
     )
 
 
+def make_gcn_data(cfg: Toy2DConfig, n_events: int, seed_layers: int = 3,
+                  norm: str = "row"):
+    """Dense-adjacency GCN task data (`GCN_Toy2D.ipynb:cell4,11`).
+
+    Returns (X, A, y0): node features [x, r/r_max, seed], normalised
+    adjacency ('row' or 'kw'), and the track-0 node labels.  The adjacency
+    uses the entry/exit line constraints of the notebook's
+    ``calc_adjacency``.
+    """
+    from gnn_fpga_tpu.models import gcn
+
+    x, y, r, l = generate_events(cfg, n_events)
+    y0 = (y == 0).astype(np.float32)
+    seed = np.where(l < seed_layers, y0, 0.0).astype(np.float32)
+    feats = np.stack([x, r / r.max(), seed], axis=-1)
+    adj, _ = gcn.toy_adjacency(x, r, l, y)
+    if norm == "row":
+        a = gcn.row_norm_adjacency(adj)
+    elif norm == "kw":
+        a = gcn.kipf_welling_adjacency(adj)
+    else:
+        raise ValueError(f"unknown adjacency norm {norm!r}")
+    return feats, a, y0
+
+
+def make_segment_gcn_data(cfg: Toy2DConfig, n_events: int,
+                          sigma: float = 0.01):
+    """Dual-graph (line-graph) segment-classification data
+    (`GCN_Seg_Toy2D.ipynb:cell8-15`): segments as nodes, adjacency from
+    shared middle hits weighted by the gaussian slope kernel.
+
+    Returns (seg_features, seg_A, seg_y) with
+    seg_features = [slope, r_mid/r_max].
+    """
+    from gnn_fpga_tpu.models import gcn
+
+    x, y, r, l = generate_events(cfg, n_events)
+    hit_adj = gcn.layer_adjacency(l)
+    seg_idx = gcn.segment_indices(hit_adj)
+    seg_adj = gcn.segment_adjacency(seg_idx)
+    slopes = gcn.segment_slopes(x, r, seg_idx)
+    kernel = gcn.gaussian_slope_kernel(slopes, sigma)
+    a = gcn.row_norm_adjacency(seg_adj * kernel)
+    seg_y = gcn.segment_labels(y, seg_idx)
+    ev = np.arange(n_events)[:, None, None]
+    r_mid = r[ev, seg_idx].mean(axis=-1)
+    feats = np.stack([slopes, r_mid / r.max()], axis=-1).astype(np.float32)
+    return feats, a, seg_y
+
+
 def make_seeded_node_graphs(cfg: Toy2DConfig, n_events: int, seed_layers: int = 3) -> Graph:
     """Batched Graph for the seeded hit-classification task (GCN workload).
 

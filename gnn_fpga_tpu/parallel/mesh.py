@@ -57,3 +57,12 @@ def shard_batch_pytree(tree, mesh: Mesh, axis: str = DATA_AXIS):
     """device_put every leaf with its leading axis sharded over ``axis``."""
     sharding = batch_sharded(mesh, axis)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """Version-portable shard_map (jax.shard_map when available)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+    from jax.experimental.shard_map import shard_map as _sm
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
