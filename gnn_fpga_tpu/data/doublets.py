@@ -101,14 +101,24 @@ def both_true_label(lbl1: np.ndarray, lbl2: np.ndarray) -> np.ndarray:
 
 
 def select_segments_arrays(
-    r1, phi1, z1, r2, phi2, z2, phi_slope_cut: float, z0_max: float
+    r1, phi1, z1, r2, phi2, z2, phi_slope_cut: float, z0_max: float,
+    use_native: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs doublet selection between two hit sets (vectorised).
 
     Computes the line through each hit pair: ``phi_slope = dphi/dr`` and
     ``z0 = z1 - r1*dz/dr`` (`graph.py:57-62`), cuts |phi_slope| and |z0|,
     and returns (i1, i2) local index pairs of surviving doublets.
+
+    Uses the C++/OpenMP library (native/doublets.cpp) when built — no
+    O(n1*n2) temporaries; numpy broadcasting otherwise.
     """
+    if use_native:
+        from gnn_fpga_tpu.data import native
+        out = native.select_segments_native(
+            r1, phi1, z1, r2, phi2, z2, phi_slope_cut, z0_max)
+        if out is not None:
+            return out
     r1 = np.asarray(r1)[:, None]; phi1 = np.asarray(phi1)[:, None]
     z1 = np.asarray(z1)[:, None]
     r2 = np.asarray(r2)[None, :]; phi2 = np.asarray(phi2)[None, :]

@@ -320,3 +320,61 @@ def test_muon_build_graphs_labels_and_extras(tmp_path):
     g2, ex = load_npz_with_extras(paths[0])
     assert float(ex["pt"]) == np.float32(22.5)
     np.testing.assert_allclose(np.asarray(g2.y), y)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) doublet selection
+# ---------------------------------------------------------------------------
+
+def test_native_matches_numpy():
+    """The C++ path must agree exactly with the numpy broadcast path."""
+    from gnn_fpga_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built (make -C native)")
+    rng = np.random.default_rng(7)
+    n1, n2 = 173, 211
+    r1 = rng.uniform(20, 40, n1); r2 = rng.uniform(50, 70, n2)
+    p1 = rng.uniform(-np.pi, np.pi, n1); p2 = rng.uniform(-np.pi, np.pi, n2)
+    z1 = rng.uniform(-200, 200, n1); z2 = rng.uniform(-200, 200, n2)
+    cut, z0m = 0.02, 150.0
+    i1n, i2n = doublets.select_segments_arrays(
+        r1, p1, z1, r2, p2, z2, cut, z0m, use_native=False)
+    i1c, i2c = native.select_segments_native(r1, p1, z1, r2, p2, z2, cut, z0m)
+    assert set(zip(i1n.tolist(), i2n.tolist())) \
+        == set(zip(i1c.tolist(), i2c.tolist()))
+    assert len(i1c) > 0
+
+
+def test_native_capacity_retry():
+    """Wide-open cuts force the capacity-miss retry path."""
+    from gnn_fpga_tpu.data import native
+    if not native.available():
+        pytest.skip("native library not built")
+    n = 64
+    r1 = np.linspace(1, 2, n); r2 = np.linspace(3, 4, n)
+    zeros = np.zeros(n)
+    i1, i2 = native.select_segments_native(
+        r1, zeros, zeros, r2, zeros, zeros, 1e30, 1e30)
+    assert len(i1) == n * n  # every pair survives
+
+
+def test_construct_graph_uses_native_consistently():
+    """construct_graph output is identical with and without the native path."""
+    hits = toy_hits(n_tracks=6, n_layers=4, seed=9)
+    rng = np.random.default_rng(1)
+    hits["phi"] += rng.normal(0, 0.01, len(hits))
+    cuts = SegmentCuts(phi_slope_max=0.004, z0_max=500.0)
+    pairs = doublets.adjacent_layer_pairs(4)
+    g_native = doublets.construct_graph(hits, pairs, cuts=cuts)
+    import gnn_fpga_tpu.data.native as native_mod
+    orig = native_mod.select_segments_native
+    native_mod.select_segments_native = lambda *a, **k: None  # force numpy
+    try:
+        g_numpy = doublets.construct_graph(hits, pairs, cuts=cuts)
+    finally:
+        native_mod.select_segments_native = orig
+    np.testing.assert_array_equal(np.asarray(g_native.senders),
+                                  np.asarray(g_numpy.senders))
+    np.testing.assert_array_equal(np.asarray(g_native.receivers),
+                                  np.asarray(g_numpy.receivers))
+    np.testing.assert_allclose(np.asarray(g_native.y), np.asarray(g_numpy.y))
