@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-DEFAULT_TILE_E = 512
+DEFAULT_TILE_E = 256  # fastest in the on-chip sweep (43 GB/s vs 35 at 512)
 
 
 class SortedSegments(NamedTuple):
