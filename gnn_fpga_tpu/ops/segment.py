@@ -69,5 +69,6 @@ def edge_concat(x: jax.Array, senders: jax.Array, receivers: jax.Array,
     """
     b = jnp.concatenate([gather(x, senders), gather(x, receivers)], axis=-1)
     if edge_mask is not None:
-        b = b * edge_mask[:, None]
+        # cast avoids silent bf16->f32 promotion under mixed precision
+        b = b * edge_mask.astype(b.dtype)[:, None]
     return b
