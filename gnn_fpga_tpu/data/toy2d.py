@@ -170,6 +170,46 @@ def make_segment_gcn_data(cfg: Toy2DConfig, n_events: int,
     return feats, a, seg_y
 
 
+def make_hit_grids(cfg: Toy2DConfig, n_events: int):
+    """Sorted hit-position grids for the image-style baseline models.
+
+    Returns ``(grids, pids)``: hit x-positions per (layer, slot) sorted by
+    position within each layer, shape (n_events, n_layers, n_tracks), and
+    the track id occupying each slot (the `transform_hits` of
+    `HitClustering_Toy2D.ipynb:cell3` / `Graph_dev.ipynb:cell4`).
+    """
+    x, y, _, _ = generate_events(cfg, n_events)
+    nl, nt = cfg.n_layers, cfg.n_tracks
+    return (x.reshape(n_events, nl, nt),
+            y.reshape(n_events, nl, nt).astype(np.int32))
+
+
+def make_segmenter_data(cfg: Toy2DConfig, n_events: int):
+    """Hit-clustering segmenter task (`HitClustering_Toy2D.ipynb:cell14`).
+
+    Input: hit grid (n_events, n_layers, n_tracks).  Target: for every hit
+    on layer l, a one-hot distribution over layer-(l+1) slots marking the
+    same-track hit — shape (n_events, (n_layers-1)*n_tracks, n_tracks).
+    """
+    grids, pids = make_hit_grids(cfg, n_events)
+    assoc = (pids[:, :-1, :, None] == pids[:, 1:, None, :]).astype(np.float32)
+    return grids, assoc.reshape(n_events, -1, cfg.n_tracks)
+
+
+def make_seeded_grid_data(cfg: Toy2DConfig, n_events: int,
+                          seed_size: int = 3, track: int = 0):
+    """Seeded track-finding-as-image task (`Graph_dev.ipynb:cell9,21`).
+
+    Returns ``(grids, seeds, targets)``: hit grids (n_events, L, T), the
+    target track's slot one-hots on the first ``seed_size`` layers
+    (n_events, seed_size, T), and the per-layer slot one-hot of the target
+    track (n_events, L, T).
+    """
+    grids, pids = make_hit_grids(cfg, n_events)
+    target = (pids == track).astype(np.float32)
+    return grids, target[:, :seed_size].copy(), target
+
+
 def make_seeded_node_graphs(cfg: Toy2DConfig, n_events: int, seed_layers: int = 3) -> Graph:
     """Batched Graph for the seeded hit-classification task (GCN workload).
 
