@@ -90,6 +90,12 @@ def masked_bce_with_logits(logits, targets, mask):
     return (per * mask).sum() / denom
 
 
+def stack_batches(batches: Sequence[Graph]) -> Graph:
+    """Stack same-shape batches along a new leading axis for
+    :meth:`Trainer.run_steps` (scan axis = optimizer steps)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
 def _maybe_vmap(fn, graph: Graph):
     """Apply a single-graph function over an optional leading batch axis."""
     if graph.x.ndim == 3:
@@ -176,7 +182,22 @@ class Trainer:
             single = lambda g: logits_fn(params, g, masks)
             return jax.nn.sigmoid(_maybe_vmap(single, graph)(graph))
 
+        def train_steps_scan(params, opt_state, stacked):
+            # Many optimizer steps in ONE device dispatch: lax.scan over a
+            # stacked pytree of batches.  At reference model sizes (<30k
+            # params) a single step is host-dispatch-latency-bound on TPU;
+            # scanning an epoch amortises that to ~zero.
+            def body(carry, batch):
+                params, opt_state = carry
+                params, opt_state, loss = train_step(params, opt_state, batch)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), stacked)
+            return params, opt_state, losses
+
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_steps = jax.jit(train_steps_scan, donate_argnums=(0, 1))
         self._eval_loss = jax.jit(eval_loss)
         self._predict = jax.jit(predict_fn)
 
@@ -221,6 +242,49 @@ class Trainer:
                     for _ in range(n_valid_batches)]))
                 self.valid_losses.append(vloss)
                 logger("  validate loss %.3g" % vloss)
+                record["valid_loss"] = vloss
+                is_best = vloss < self.best_valid_loss
+                self.best_valid_loss = min(vloss, self.best_valid_loss)
+                self.save_checkpoint(is_best)
+            elif self.ckpt is not None:
+                self.save_checkpoint(False)
+            self._write_metrics(record)
+
+    def run_steps(self, stacked: Graph) -> np.ndarray:
+        """Run one optimizer step per leading-axis slice of ``stacked`` in a
+        single device dispatch (``lax.scan`` inside jit).
+
+        ``stacked`` is a pytree of batches stacked along a new leading axis
+        (see :func:`stack_batches`).  Returns the per-step losses.  This is
+        the TPU-idiomatic inner loop — the Python-level ``fit`` loop costs
+        one host round-trip per *step*; this costs one per *epoch*.
+        """
+        self.params, self.opt_state, losses = self._train_steps(
+            self.params, self.opt_state, stacked)
+        return np.asarray(losses)
+
+    def fit_stacked(
+        self,
+        train_epoch: Graph,
+        n_epochs: int,
+        valid_batch: Optional[Graph] = None,
+        verbose: int = 0,
+    ) -> None:
+        """`fit` over a fixed stacked epoch of batches — one dispatch per
+        epoch via :meth:`run_steps`, same checkpoint/metrics semantics."""
+        epoch_start = self.epoch
+        for i in range(epoch_start, epoch_start + n_epochs):
+            t0 = time.perf_counter()
+            losses = self.run_steps(train_epoch)
+            dt = time.perf_counter() - t0
+            avg_loss = float(losses.mean())
+            self.train_losses.append(avg_loss)
+            if verbose > 0:
+                logger("Epoch %i training loss %.3g time %gs" % (i, avg_loss, dt))
+            record = {"epoch": i, "train_loss": avg_loss, "time_s": dt}
+            if valid_batch is not None:
+                vloss = float(self._eval_loss(self.params, valid_batch))
+                self.valid_losses.append(vloss)
                 record["valid_loss"] = vloss
                 is_best = vloss < self.best_valid_loss
                 self.best_valid_loss = min(vloss, self.best_valid_loss)

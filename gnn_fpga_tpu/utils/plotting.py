@@ -107,6 +107,58 @@ def draw_sample_with_properties(
     )
 
 
+def draw_iterations(
+    g: Graph,
+    per_iter_scores: Sequence[np.ndarray],
+    axes_features: Tuple[int, int] = (0, 1),
+    axis_labels: Tuple[str, str] = ("$x$", "$y$"),
+    filename: Optional[str] = None,
+):
+    """Edge-score evolution across message-passing iterations — the
+    reference's ``graph_iter`` panels (`MPNN_Seg_ACTS.ipynb:cell39-46`).
+
+    ``per_iter_scores``: list of per-edge score arrays, one per iteration
+    (the ``es`` output of
+    :func:`gnn_fpga_tpu.models.mpnn.segment_classifier_intermediates`).
+    Edge opacity = score; one panel per iteration plus the truth panel.
+    """
+    from matplotlib.collections import LineCollection
+
+    x, senders, receivers, y, nm = _real_parts(g)
+    em = np.asarray(g.edge_mask) > 0
+    fx, fy = axes_features
+    n_panels = len(per_iter_scores) + 1
+    ncols = min(n_panels, 3)
+    nrows = (n_panels + ncols - 1) // ncols
+    fig, axs = plt.subplots(nrows, ncols, figsize=(6 * ncols, 5 * nrows),
+                            squeeze=False)
+    flat_axs = axs.ravel()
+    segs = np.stack([
+        np.stack([x[senders, fx], x[senders, fy]], axis=-1),
+        np.stack([x[receivers, fx], x[receivers, fy]], axis=-1),
+    ], axis=1)
+
+    def panel(ax, vals, title):
+        ax.scatter(x[nm, fx], x[nm, fy], c="k", s=8)
+        colors = [(0, 0, 0, float(np.clip(v, 0, 1))) for v in vals]
+        ax.add_collection(LineCollection(segs, colors=colors))
+        ax.set_title(title)
+        ax.set_xlabel(axis_labels[0])
+        ax.set_ylabel(axis_labels[1])
+
+    for i, e in enumerate(per_iter_scores):
+        panel(flat_axs[i], np.asarray(e)[em], f"iteration {i + 1}")
+    panel(flat_axs[len(per_iter_scores)], y, "truth")
+    for ax in flat_axs[n_panels:]:
+        ax.axis("off")
+    fig.tight_layout()
+    if filename:
+        os.makedirs(os.path.dirname(os.path.abspath(filename)), exist_ok=True)
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig
+
+
 def plot_losses(train_losses, valid_losses=None, filename=None):
     """Loss-history curves (`MPNN_Seg_ACTS.ipynb:cell26`)."""
     fig, ax = plt.subplots(figsize=(8, 5))
