@@ -7,6 +7,14 @@ iterations, batch 32 (`MPNN_Seg_ACTS.ipynb:cell16,23`) — on synthetic
 mu10-scale graphs (100 nodes / 900 candidate edges per event, heavier than
 the reference's sectored mu10 graphs, so the comparison is conservative).
 
+Layout: vmapped batch + dense-incidence bmm aggregation (the MXU path,
+see ops/dense_incidence.py) in bf16 mixed precision (f32 master weights,
+f32 loss/logits).  All optimizer steps of an epoch run in ONE device
+dispatch (lax.scan, Trainer.run_steps).  Timing is synchronised by the
+host readback of the per-step losses inside run_steps — NOT
+block_until_ready, which does not reliably block through the remote-TPU
+tunnel (measured: it can return ~1000x early).
+
 Baseline: the reference trains ~55 graphs/s in this config on its GPU
 (0.29 s/epoch over 512 graphs, `MPNN_Seg_ACTS.ipynb:cell23`; BASELINE.md).
 ``vs_baseline`` = our graphs/s / 55.
@@ -27,19 +35,15 @@ def main():
     from gnn_fpga_tpu.models import mpnn
     from gnn_fpga_tpu.train.trainer import Trainer, TrainConfig
 
-    # mu10-scale synthetic graphs: 10 tracks x 10 layers.
-    # Packed flat layout (one graph, one segment-sum per aggregation) —
-    # measured ~13% faster than the vmapped batch on TPU v5e.
-    from gnn_fpga_tpu.core import graph as G
-
     n_layers, n_tracks, batch = 10, 10, 32
     cfg = toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks, seed=0)
     g = toy2d.make_segment_graphs(cfg, batch)
-    packed = G.pack_graphs(G.unbatch_graphs(g))
-    batch_graph = jax.tree.map(jnp.asarray, packed)
+    batch_graph = jax.tree.map(lambda a: jnp.asarray(a) if a is not None else None, g)
     edges_per_graph = int(np.asarray(g.edge_mask).sum() / batch)
 
-    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=32, n_iters=4)
+    mcfg = mpnn.SegmentClassifierConfig(
+        input_dim=2, hidden_dim=32, n_iters=4,
+        compute_dtype=jnp.bfloat16, aggregation="dense")
     params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
     import io, contextlib
     with contextlib.redirect_stdout(io.StringIO()):
@@ -47,20 +51,23 @@ def main():
             lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
             params, TrainConfig())
 
-    # Compile + warm-up
-    p, o = tr.params, tr.opt_state
-    for _ in range(3):
-        p, o, loss = tr._train_step(p, o, batch_graph)
-    jax.block_until_ready(loss)
+    # One epoch of steps per dispatch; losses readback syncs each call.
+    n_steps = 512
+    stacked = jax.tree.map(
+        lambda a: (jnp.broadcast_to(a[None], (n_steps,) + a.shape)
+                   if a is not None else None),
+        batch_graph)
 
-    n_steps = 200
+    # Compile + warm-up (run_steps ends with a host readback of losses)
+    tr.run_steps(stacked)
+
+    n_reps = 4
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        p, o, loss = tr._train_step(p, o, batch_graph)
-    jax.block_until_ready(loss)
+    for _ in range(n_reps):
+        losses = tr.run_steps(stacked)
     dt = time.perf_counter() - t0
 
-    graphs_per_s = n_steps * batch / dt
+    graphs_per_s = n_reps * n_steps * batch / dt
     edges_per_s = graphs_per_s * edges_per_graph
     print(json.dumps({
         "metric": "train_edges_per_s_per_chip_mu10_h32_i4_b32",

@@ -201,7 +201,8 @@ def sharded_segment_classifier_logits(
         h_local = jnp.concatenate([h_new, x_local], axis=-1)
         return h_local, None
 
-    h_local, _ = jax.lax.scan(body, h_local, None, length=cfg.n_iters)
+    h_local, _ = jax.lax.scan(body, h_local, None, length=cfg.n_iters,
+                              unroll=cfg.unroll)
 
     # final edge network on local edges
     h_full = gather_full(h_local)
