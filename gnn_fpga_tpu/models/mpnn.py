@@ -197,36 +197,54 @@ def _dense_edge_logits(params, bo, bi, masks_e, act):
     return _linear(params["l2"], z, m2)[..., 0]
 
 
-def _dense_mp_logits(params, graph: Graph, cfg, masks_e, masks_n, act):
-    """Message passing with one-hot incidence bmms (MXU path).
+def _dense_mp_body(ri, ro, x, masks_e, masks_n, act):
+    """One message-passing iteration with one-hot incidence bmms.
 
-    Semantically identical to the sparse forward; the incidence matrices
-    are the reference's Ri/Ro (`model.py:113-119`) built once per call in
-    the compute dtype and reused across iterations and fwd/bwd.  bo/bi
-    are shared between the edge scorer and the aggregation, as in the
-    reference (same `bmm(Ro^T,X)`/`bmm(Ri^T,X)` feed both)."""
+    Returns ``body(h, (edge_params, node_params)) -> (h', None)`` for use
+    under ``lax.scan`` — shared weights pass a constant params pair,
+    unshared weights scan over stacked per-iteration params.  bo/bi are
+    shared between the edge scorer and the aggregation, as in the
+    reference (the same `bmm(Ro^T,X)`/`bmm(Ri^T,X)` feed both,
+    `model.py:69-81,113-119`)."""
+
+    def body(h, per_iter):
+        edge_p, node_p = per_iter
+        bo = dinc.gather_bmm(ro, h)
+        bi = dinc.gather_bmm(ri, h)
+        e = jax.nn.sigmoid(_dense_edge_logits(edge_p, bo, bi, masks_e, act))
+        mi = dinc.scatter_bmm(ri, bo, e)
+        mo = dinc.scatter_bmm(ro, bi, e)
+        m = jnp.concatenate([mi, mo, h], axis=-1)
+        m1 = None if masks_n is None else masks_n["l1"]
+        m2 = None if masks_n is None else masks_n["l2"]
+        z = act(_linear(node_p["l1"], m, m1))
+        hn = act(_linear(node_p["l2"], z, m2))
+        return jnp.concatenate([hn, x], axis=-1), None
+
+    return body
+
+
+def _dense_prelude(params, graph: Graph, cfg, act):
+    """Cast params/features, build incidence matrices, run the input MLP."""
     n_node = graph.x.shape[-2]
     params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
     ri = dinc.incidence(graph.receivers, n_node, graph.edge_mask, x.dtype)
     ro = dinc.incidence(graph.senders, n_node, graph.edge_mask, x.dtype)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
+    return params, x, ri, ro, h
 
-    def body(h, _):
-        bo = dinc.gather_bmm(ro, h)
-        bi = dinc.gather_bmm(ri, h)
-        e = jax.nn.sigmoid(_dense_edge_logits(params["edge"], bo, bi,
-                                              masks_e, act))
-        mi = dinc.scatter_bmm(ri, bo, e)
-        mo = dinc.scatter_bmm(ro, bi, e)
-        m = jnp.concatenate([mi, mo, h], axis=-1)
-        m1 = None if masks_n is None else masks_n["l1"]
-        m2 = None if masks_n is None else masks_n["l2"]
-        z = act(_linear(params["node"]["l1"], m, m1))
-        hn = act(_linear(params["node"]["l2"], z, m2))
-        return jnp.concatenate([hn, x], axis=-1), None
 
-    h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters, unroll=cfg.unroll)
+def _dense_mp_logits(params, graph: Graph, cfg, masks_e, masks_n, act):
+    """SegmentClassifier forward on the MXU path (see ops/dense_incidence.py).
+
+    Semantically identical to the sparse forward; the incidence matrices
+    are the reference's Ri/Ro (`model.py:113-119`) built once per call in
+    the compute dtype and reused across iterations and fwd/bwd."""
+    params, x, ri, ro, h = _dense_prelude(params, graph, cfg, act)
+    body = _dense_mp_body(ri, ro, x, masks_e, masks_n, act)
+    h, _ = jax.lax.scan(lambda h, _: body(h, (params["edge"], params["node"])),
+                        h, None, length=cfg.n_iters, unroll=cfg.unroll)
     bo = dinc.gather_bmm(ro, h)
     bi = dinc.gather_bmm(ri, h)
     logits = _dense_edge_logits(params["edge"], bo, bi, masks_e, act)
@@ -322,6 +340,16 @@ def init_segment_classifier_unshared(key, cfg: SegmentClassifierConfig) -> Param
 
 def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
     act = cfg.activation
+    if _use_dense(cfg, graph):
+        params, x, ri, ro, h = _dense_prelude(params, graph, cfg, act)
+        body = _dense_mp_body(ri, ro, x, None, None, act)
+        h, _ = jax.lax.scan(body, h,
+                            (params["edge_stack"], params["node_stack"]),
+                            unroll=cfg.unroll)
+        bo = dinc.gather_bmm(ro, h)
+        bi = dinc.gather_bmm(ri, h)
+        logits = _dense_edge_logits(params["output"], bo, bi, None, act)
+        return logits.astype(jnp.float32)
     x = graph.x
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
@@ -355,6 +383,9 @@ class NodeClassifierConfig:
     dtype: Any = jnp.float32
     # see SegmentClassifierConfig.unroll (nested-scan pathology on TPU)
     unroll: Any = True
+    # see SegmentClassifierConfig.aggregation (MXU path for small graphs)
+    aggregation: str = "auto"
+    compute_dtype: Any = None
 
 
 def init_node_classifier(key, cfg: NodeClassifierConfig) -> Params:
@@ -372,9 +403,16 @@ def init_node_classifier(key, cfg: NodeClassifierConfig) -> Params:
 
 def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None):
     act = cfg.activation
-    x = graph.x
     masks_e = None if masks is None else masks.get("edge")
     masks_n = None if masks is None else masks.get("node")
+    if _use_dense(cfg, graph):
+        params, x, ri, ro, h = _dense_prelude(params, graph, cfg, act)
+        body = _dense_mp_body(ri, ro, x, masks_e, masks_n, act)
+        h, _ = jax.lax.scan(
+            lambda h, _: body(h, (params["edge"], params["node"])),
+            h, None, length=cfg.n_iters, unroll=cfg.unroll)
+        return _linear(params["output"], h)[..., 0].astype(jnp.float32)
+    x = graph.x
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 

@@ -34,7 +34,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-DEFAULT_TILE_E = 256  # fastest in the on-chip sweep (43 GB/s vs 35 at 512)
+# Fastest in the honest (readback-synchronised) on-chip sweep.  Measured
+# vs XLA scatter-add at V=16384/E=131072: F=128 33.8 vs 26.4 GB/s,
+# F=64 16.5 vs 12.7 GB/s (tile 512 is ~10% slower; a subtiled in-kernel
+# fori_loop variant and an aligned/fixed-offset accumulation probe were
+# both tried and did not beat this — the per-grid-step floor is ~3us on
+# the bench chip).  At small sizes (V~3.5k, E~29k) the dense-incidence
+# MXU path (ops/dense_incidence.py) dominates both by >10x.
+DEFAULT_TILE_E = 256
 
 
 class SortedSegments(NamedTuple):

@@ -98,3 +98,27 @@ def test_dense_bf16_close_to_f32():
     lb = mpnn.segment_classifier_logits(params, g, cfg_bf)
     assert lb.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lb), rtol=0.1, atol=0.1)
+
+
+def test_unshared_dense_matches_sparse():
+    rng = np.random.default_rng(5)
+    g = _random_graph(rng, n_node=15, n_edge=40)
+    cfg_s = mpnn.SegmentClassifierConfig(
+        input_dim=3, hidden_dim=8, n_iters=3, aggregation="sparse")
+    cfg_d = dataclasses.replace(cfg_s, aggregation="dense")
+    params = mpnn.init_segment_classifier_unshared(jax.random.PRNGKey(7), cfg_s)
+    ls = mpnn.segment_classifier_unshared_logits(params, g, cfg_s)
+    ld = mpnn.segment_classifier_unshared_logits(params, g, cfg_d)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld), **TOL)
+
+
+def test_node_classifier_dense_matches_sparse():
+    rng = np.random.default_rng(6)
+    g = _random_graph(rng, n_node=15, n_edge=40, n_feat=4)
+    cfg_s = mpnn.NodeClassifierConfig(
+        input_dim=4, hidden_dim=8, n_iters=3, aggregation="sparse")
+    cfg_d = dataclasses.replace(cfg_s, aggregation="dense")
+    params = mpnn.init_node_classifier(jax.random.PRNGKey(8), cfg_s)
+    ls = mpnn.node_classifier_logits(params, g, cfg_s)
+    ld = mpnn.node_classifier_logits(params, g, cfg_d)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(ld), **TOL)
