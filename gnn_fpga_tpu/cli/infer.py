@@ -41,19 +41,11 @@ def parse_args(argv=None):
 
 
 def load_params(path: str):
-    """Rebuild the params pytree from the flat keystr->array NPZ written by
-    the train CLI."""
-    with np.load(path) as f:
-        flat = {k: f[k] for k in f.files}
-    params: dict = {}
-    for keystr, arr in flat.items():
-        keys = [k for k in keystr.replace("]", "").split("[") if k]
-        keys = [k.strip("'\"") for k in keys]
-        node = params
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = arr
-    return params
+    """Rebuild the params pytree from the NPZ written by the train CLI
+    (path-table format; legacy keystr files still load — see
+    gnn_fpga_tpu/utils/serialization.py)."""
+    from gnn_fpga_tpu.utils.serialization import load_params_npz
+    return load_params_npz(path)
 
 
 def main(argv=None):

@@ -126,10 +126,9 @@ def main(argv=None):
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
         logging.info("Writing outputs to %s", args.output_dir)
-        np.savez(os.path.join(args.output_dir, "model.npz"),
-                 **{jax.tree_util.keystr(path): np.asarray(leaf)
-                    for path, leaf in
-                    jax.tree_util.tree_leaves_with_path(trainer.params)})
+        from gnn_fpga_tpu.utils.serialization import save_params_npz
+        save_params_npz(os.path.join(args.output_dir, "model.npz"),
+                        trainer.params)
         np.savez(os.path.join(args.output_dir, "losses.npz"),
                  train_losses=np.asarray(trainer.train_losses),
                  valid_losses=np.asarray(trainer.valid_losses))

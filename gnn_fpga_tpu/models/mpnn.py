@@ -350,7 +350,7 @@ def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
         bi = dinc.gather_bmm(ri, h)
         logits = _dense_edge_logits(params["output"], bo, bi, None, act)
         return logits.astype(jnp.float32)
-    x = graph.x
+    params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
@@ -363,7 +363,8 @@ def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
 
     h, _ = jax.lax.scan(body, h, (params["edge_stack"], params["node_stack"]),
                         unroll=cfg.unroll)
-    return edge_network_logits(params["output"], h, graph, None, act)
+    logits = edge_network_logits(params["output"], h, graph, None, act)
+    return logits.astype(jnp.float32)
 
 
 def segment_classifier_unshared(params, graph, cfg, masks=None):
@@ -412,7 +413,7 @@ def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None)
             lambda h, _: body(h, (params["edge"], params["node"])),
             h, None, length=cfg.n_iters, unroll=cfg.unroll)
         return _linear(params["output"], h)[..., 0].astype(jnp.float32)
-    x = graph.x
+    params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
@@ -423,7 +424,7 @@ def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None)
         return h, None
 
     h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters, unroll=cfg.unroll)
-    return _linear(params["output"], h)[..., 0]
+    return _linear(params["output"], h)[..., 0].astype(jnp.float32)
 
 
 def node_classifier(params, graph, cfg, masks=None):

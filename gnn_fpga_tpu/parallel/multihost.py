@@ -36,23 +36,39 @@ def initialize(coordinator_address: Optional[str] = None,
     """Initialise multi-process JAX (idempotent; no-op if single-process).
 
     With no arguments, relies on the TPU-pod auto-bootstrap environment
-    (as `jax.distributed.initialize()` does on Cloud TPU); explicit
+    (as `jax.distributed.initialize()` does on Cloud TPU / Slurm); explicit
     arguments support manual clusters.
+
+    MUST be called before anything that initialises the XLA backend
+    (`jax.devices()`, `jax.process_count()`, any computation) — so this
+    function deliberately touches neither.  Idempotency is checked via the
+    module flag and the distributed client handle; the "no cluster
+    detected" case (plain single-process run) is the ``ValueError`` that
+    `jax.distributed.initialize` raises when it cannot find a coordinator,
+    which we treat as a no-op.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
-    if coordinator_address is None and num_processes is None:
-        # Single host with no coordinator env: nothing to do.
-        import os
-        if "COORDINATOR_ADDRESS" not in os.environ and \
-           "MEGASCALE_COORDINATOR_ADDRESS" not in os.environ:
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:  # already initialised
             _initialized = True
             return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    except (ImportError, AttributeError):
+        pass
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except ValueError:
+        # No coordinator address given or auto-detectable: single-process.
+        pass
+    except RuntimeError as e:
+        # "should only be called once" — initialised elsewhere; anything
+        # else is a real failure.
+        if "once" not in str(e):
+            raise
     _initialized = True
 
 
@@ -69,10 +85,16 @@ def process_info() -> dict:
 def local_shard(items: Sequence, process_id: Optional[int] = None,
                 process_count: Optional[int] = None) -> list:
     """This host's strided shard of a global work list (e.g. graph NPZ
-    filenames) — every process loads disjoint data."""
+    filenames) — every process loads disjoint data.
+
+    All hosts return shards of the SAME length (``len(items) // n``):
+    in SPMD training unequal per-host batch counts deadlock collectives,
+    so the trailing ``len(items) % n`` items are dropped everywhere.
+    """
     pid = jax.process_index() if process_id is None else process_id
     n = jax.process_count() if process_count is None else process_count
-    return list(items[pid::n])
+    per = len(items) // n
+    return list(items[pid::n][:per])
 
 
 def host_slice(n_global: int, process_id: Optional[int] = None,

@@ -61,19 +61,16 @@ def roc_auc(pred: np.ndarray, target: np.ndarray,
     if n_pos == 0 or n_neg == 0:
         return float("nan")
     order = np.argsort(pred, kind="mergesort")
-    ranks = np.empty(len(pred), dtype=np.float64)
     sorted_pred = pred[order]
-    # average ranks over ties
-    i = 0
-    ranks_sorted = np.arange(1, len(pred) + 1, dtype=np.float64)
-    while i < len(pred):
-        j = i
-        while j + 1 < len(pred) and sorted_pred[j + 1] == sorted_pred[i]:
-            j += 1
-        if j > i:
-            ranks_sorted[i:j + 1] = 0.5 * (i + 1 + j + 1)
-        i = j + 1
-    ranks[order] = ranks_sorted
+    # Average ranks over tie groups, vectorised: each distinct value's rank
+    # is the mean of its (1-based) positions start+1 .. end in sorted order.
+    _, inverse, counts = np.unique(sorted_pred, return_inverse=True,
+                                   return_counts=True)
+    ends = np.cumsum(counts).astype(np.float64)
+    starts = ends - counts
+    avg_rank = 0.5 * (starts + 1 + ends)
+    ranks = np.empty(len(pred), dtype=np.float64)
+    ranks[order] = avg_rank[inverse]
     return float((ranks[t].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 

@@ -16,3 +16,21 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def _build_native_lib():
+    """Build the optional C++ preprocessing library if a toolchain exists
+    (the .so is not committed; tests that need it skip when absent)."""
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lib = os.path.join(root, "native", "libgnn_native.so")
+    if os.path.exists(lib) or shutil.which("make") is None \
+            or shutil.which("g++") is None:
+        return
+    subprocess.run(["make", "-C", os.path.join(root, "native")],
+                   check=False, capture_output=True)
+
+
+_build_native_lib()

@@ -15,12 +15,16 @@ def test_initialize_single_process_noop():
     assert info["global_devices"] == len(jax.devices())
 
 
-def test_local_shard_strided_and_disjoint():
+def test_local_shard_strided_disjoint_and_equal_length():
     items = list(range(10))
     shards = [mh.local_shard(items, process_id=p, process_count=3)
               for p in range(3)]
-    assert sorted(sum(shards, [])) == items
-    assert shards[0] == [0, 3, 6, 9]
+    # Equal shard lengths (SPMD invariant): trailing remainder is dropped
+    # on every host, so per-host batch counts always agree.
+    assert [len(s) for s in shards] == [3, 3, 3]
+    flat = sum(shards, [])
+    assert len(set(flat)) == len(flat)  # disjoint
+    assert shards[0] == [0, 3, 6]
 
 
 def test_host_slice_partitions_batch():
