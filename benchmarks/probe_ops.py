@@ -21,11 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(op, args, n_iters=20, n_reps=3):
+def timed(op, args, n_iters=200, n_reps=3):
     """Per-call seconds of ``op(*args)`` with forced sequential dependence.
 
-    ``op`` must return an array; its [0,...] element feeds a tiny
-    perturbation of the first float arg of the next call.
+    Two hazards this harness defends against (both bit round 1):
+
+    - **DCE through a scalar probe.**  The loop carry must depend on the
+      FULL output — reading only ``out[0]`` lets XLA slice through the op
+      (e.g. compute one row of a matmul).  We carry ``jnp.sum(out)``.
+    - **Fixed dispatch overhead.**  The remote-TPU tunnel costs ~25ms per
+      executed program, so per-call time has a ``25ms / n_iters`` floor;
+      ``n_iters`` must be large enough that the op under test dominates.
+      (Round 1 used 20 iterations — every probe measured the tunnel.)
+
+    ``op`` must return an array; the running sum perturbs one element of
+    the first float arg of the next call (in-place in the loop carry).
     """
 
     def chained(args):
@@ -34,7 +44,7 @@ def timed(op, args, n_iters=20, n_reps=3):
             first, rest = args[0], args[1:]
             first = first.at[(0,) * first.ndim].add(c * 1e-30)
             out = op(first, *rest)
-            return out.ravel()[0].astype(jnp.float32), (first, *rest)
+            return jnp.sum(out).astype(jnp.float32), (first, *rest)
 
         c, _ = jax.lax.fori_loop(0, n_iters, body, (jnp.float32(0), args))
         return c

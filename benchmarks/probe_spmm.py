@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""On-chip benchmark: fused Pallas aggregate_pair vs XLA gather+segment_sum.
+
+Graph: layered tracking-style structure (L layers x V/L nodes ordered by
+(layer, phi); edges connect adjacent layers within a phi window) — the
+locality the windowed-gather kernel is designed around, and what the ACTS
+pipelines produce when hits are sorted by (layer, phi)
+(`/root/reference/gnn/prepareGraphs.py` layer-pair construction).
+
+Usage: python benchmarks/probe_spmm.py [--v 16384 --e 131072 --d 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.probe_ops import timed
+from gnn_fpga_tpu.ops.pallas import spmm as sp
+
+
+def layered_graph(v, e, n_layers=8, phi_window=128, seed=0):
+    rng = np.random.default_rng(seed)
+    per_layer = v // n_layers
+    # senders uniformly in layers [0, L-1), receivers one layer up within
+    # a phi window
+    layer = rng.integers(0, n_layers - 1, size=e)
+    phi = rng.integers(0, per_layer, size=e)
+    senders = (layer * per_layer + phi).astype(np.int32)
+    dphi = rng.integers(-phi_window // 2, phi_window // 2, size=e)
+    rphi = np.clip(phi + dphi, 0, per_layer - 1)
+    receivers = ((layer + 1) * per_layer + rphi).astype(np.int32)
+    return senders, receivers
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--v", type=int, default=16384)
+    ap.add_argument("--e", type=int, default=131072)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--iters", type=int, default=200)
+    args = ap.parse_args()
+    v, e, d = args.v, args.e, args.d
+    dt = jnp.dtype(args.dtype)
+
+    rng = np.random.default_rng(1)
+    h = rng.standard_normal((v, d)).astype(dt)
+    w = rng.standard_normal((e,)).astype(np.float32)
+    s, r = layered_graph(v, e)
+    plans = sp.build_agg_plans(s, r, v, tile_e=args.tile)
+    print(f"# V={v} E={e} D={d} dtype={dt.name} tile={args.tile} "
+          f"W_oth(recv)={plans.recv.w_oth} W_oth(send)={plans.send.w_oth}")
+
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def report(name, sec, bytes_moved):
+        per_edge = sec / e * 1e9
+        print(f"{name:44s} {sec*1e6:9.1f} us  {bytes_moved/sec/1e9:7.1f} "
+              f"GB/s  {e/sec/1e6:8.1f} Medge/s")
+
+    useful = (v * d + 2 * v * d + 3 * e) * dt.itemsize  # h + mi + mo + idx/w
+
+    # XLA pair (what the model's sparse path does today)
+    def xla_pair(h, w):
+        mi = jax.ops.segment_sum(jnp.take(h, sj, axis=0) * w[:, None], rj,
+                                 num_segments=v)
+        mo = jax.ops.segment_sum(jnp.take(h, rj, axis=0) * w[:, None], sj,
+                                 num_segments=v)
+        return mi + mo
+
+    t = timed(lambda h, w: xla_pair(h, w), (h, w), n_iters=args.iters)
+    report("XLA pair fwd", t, useful)
+
+    t = timed(lambda h, w: sum(jax.tree.leaves(jax.grad(
+        lambda h, w: jnp.sum(xla_pair(h, w)), argnums=(0, 1))(h, w))[0]),
+        (h, w), n_iters=args.iters)
+    # grad-of-sum: measures fwd+bwd together
+    report("XLA pair fwd+bwd", t, 3 * useful)
+
+    # Pallas fused pair
+    def pallas_pair(h, w):
+        mi, mo = sp.aggregate_pair(h, w, plans)
+        return mi + mo
+
+    t = timed(lambda h, w: pallas_pair(h, w), (h, w), n_iters=args.iters)
+    report("pallas aggregate_pair fwd", t, useful)
+
+    t = timed(lambda h, w: sum(jax.tree.leaves(jax.grad(
+        lambda h, w: jnp.sum(pallas_pair(h, w)), argnums=(0, 1))(h, w))[0]),
+        (h, w), n_iters=args.iters)
+    report("pallas aggregate_pair fwd+bwd", t, 3 * useful)
+
+    # correctness spot check on chip
+    mi, mo = sp.aggregate_pair(jnp.asarray(h), jnp.asarray(w), plans)
+    emi, emo = sp.aggregate_pair_reference(jnp.asarray(h), jnp.asarray(w),
+                                           sj, rj, v)
+    err = float(jnp.max(jnp.abs(mi - emi)) + jnp.max(jnp.abs(mo - emo)))
+    print(f"max abs err vs oracle: {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

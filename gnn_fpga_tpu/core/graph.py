@@ -53,6 +53,11 @@ class Graph:
     node_mask: jax.Array  # [..., N] float {0,1}
     edge_mask: jax.Array  # [..., E] float {0,1}
     node_y: Optional[jax.Array] = None  # [..., N] float node labels
+    # Optional precomputed sorted-edge plans for the Pallas fused
+    # aggregation kernels (ops/pallas/spmm.py).  Only meaningful on
+    # single packed graphs (no leading batch axis); attach with
+    # :func:`attach_plans`.
+    plans: Optional[object] = None
 
     @property
     def n_node(self) -> int:
@@ -189,6 +194,24 @@ def unbatch_graphs(g: Graph) -> list:
         raise ValueError("unbatch_graphs expects a batched Graph [B, N, F]")
     n = int(np.asarray(g.x).shape[0])
     return [jax.tree.map(lambda a: a[i], g) for i in range(n)]
+
+
+def attach_plans(g: Graph, tile_e: int = 256,
+                 window: Optional[int] = None) -> Graph:
+    """Attach Pallas aggregation plans (see ops/pallas/spmm.py) to a single
+    packed graph, enabling ``aggregation="pallas"`` in the MPNN models.
+
+    The edge count must be a multiple of ``tile_e`` (pad via
+    :func:`pad_graph` / ``pack_graphs(n_edge=...)``).  Plans are built
+    host-side once per topology and ride along the Graph pytree.
+    """
+    from gnn_fpga_tpu.ops.pallas.spmm import build_agg_plans
+
+    if np.asarray(g.x).ndim != 2:
+        raise ValueError("plans only apply to single packed graphs")
+    plans = build_agg_plans(np.asarray(g.senders), np.asarray(g.receivers),
+                            g.n_node, tile_e=tile_e, window=window)
+    return g.replace(plans=plans)
 
 
 # ---------------------------------------------------------------------------

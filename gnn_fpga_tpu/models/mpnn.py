@@ -104,8 +104,35 @@ def edge_network(params, h, graph, masks=None, activation=jnp.tanh):
     return jax.nn.sigmoid(edge_network_logits(params, h, graph, masks, activation))
 
 
+def edge_network_logits_proj(
+    params, h, graph: Graph, masks: Masks = None, activation=jnp.tanh
+):
+    """Edge logits in *projection form* — mathematically identical to
+    :func:`edge_network_logits` but with the first-layer matmul applied to
+    the NODE table before gathering:
+
+        concat([h[s], h[r]]) @ W1  ==  (h @ W1a)[s] + (h @ W1b)[r]
+
+    This turns the E-sized ``[E, 2D] @ [2D, H]`` matmul into two V-sized
+    ``[V, D] @ [D, H]`` matmuls plus [E, H] gathers — at E >> V scale the
+    dominant [E, 2D] intermediate never exists.  Used by the large-graph
+    (pallas) path."""
+    m1 = None if masks is None else masks["l1"]
+    m2 = None if masks is None else masks["l2"]
+    w1 = params["l1"]["w"] if m1 is None else params["l1"]["w"] * m1
+    d = h.shape[-1]
+    pa = h @ w1[:d]
+    pb = h @ w1[d:]
+    em = graph.edge_mask.astype(h.dtype)[:, None]
+    pre = (jnp.take(pa, graph.senders, axis=0)
+           + jnp.take(pb, graph.receivers, axis=0)) * em
+    z = activation(pre + params["l1"]["b"])
+    return _linear(params["l2"], z, m2)[..., 0]
+
+
 def node_network(
-    params, h, e, graph: Graph, masks: Masks = None, activation=jnp.tanh
+    params, h, e, graph: Graph, masks: Masks = None, activation=jnp.tanh,
+    use_pallas: bool = False,
 ):
     """New node features from edge-weighted neighbour aggregation.
 
@@ -113,13 +140,22 @@ def node_network(
     ``mi[n] = sum_{e: recv==n} e * h[send]``,
     ``mo[n] = sum_{e: send==n} e * h[recv]``,
     ``M = [mi, mo, h]`` -> Linear -> tanh -> Linear -> tanh.
+
+    With ``use_pallas`` (and ``graph.plans`` attached) both weighted
+    aggregations run through the fused Pallas SpMM
+    (`ops/pallas/spmm.py`) — the per-edge message tensor never
+    materialises in HBM.
     """
     n = h.shape[0]
     em = graph.edge_mask.astype(h.dtype)
-    bo = ops.gather(h, graph.senders) * em[:, None]
-    bi = ops.gather(h, graph.receivers) * em[:, None]
-    mi = ops.weighted_segment_sum(bo, e, graph.receivers, n)
-    mo = ops.weighted_segment_sum(bi, e, graph.senders, n)
+    if use_pallas:
+        from gnn_fpga_tpu.ops.pallas.spmm import aggregate_pair
+        mi, mo = aggregate_pair(h, e * em, graph.plans)
+    else:
+        bo = ops.gather(h, graph.senders) * em[:, None]
+        bi = ops.gather(h, graph.receivers) * em[:, None]
+        mi = ops.weighted_segment_sum(bo, e, graph.receivers, n)
+        mo = ops.weighted_segment_sum(bi, e, graph.senders, n)
     m = jnp.concatenate([mi, mo, h], axis=-1)
     m1 = None if masks is None else masks["l1"]
     m2 = None if masks is None else masks["l2"]
@@ -148,10 +184,12 @@ class SegmentClassifierConfig:
     # (Trainer.run_steps): a nested non-unrolled scan compiles ~15-60x
     # slower on TPU (measured 2.5ms vs 0.18ms fwd, mu10 h=32 i=4 b=32).
     unroll: Any = True
-    # Aggregation layout: "sparse" = COO gather/segment-sum (right for
-    # large graphs), "dense" = one-hot incidence bmm on the MXU (13x
-    # faster at reference graph sizes — see ops/dense_incidence.py),
-    # "auto" = dense iff n_node * n_edge fits a small one-hot.
+    # Aggregation layout: "sparse" = COO gather/segment-sum, "dense" =
+    # one-hot incidence bmm on the MXU (13x faster at reference graph
+    # sizes — see ops/dense_incidence.py), "pallas" = fused windowed
+    # SpMM kernels for large packed graphs (requires graph.plans, see
+    # ops/pallas/spmm.py), "auto" = pallas if plans are attached, else
+    # dense iff n_node * n_edge fits a small one-hot.
     aggregation: str = "auto"
 
 
@@ -183,9 +221,23 @@ _DENSE_AUTO_LIMIT = 2_000_000
 def _use_dense(cfg, graph: Graph) -> bool:
     if cfg.aggregation == "dense":
         return True
-    if cfg.aggregation == "sparse":
+    if cfg.aggregation in ("sparse", "pallas"):
         return False
+    if cfg.aggregation == "auto" and graph.plans is not None:
+        return False  # plans attached -> caller wants the fused kernels
     return graph.x.shape[-2] * graph.senders.shape[-1] <= _DENSE_AUTO_LIMIT
+
+
+def _use_pallas(cfg, graph: Graph) -> bool:
+    """Fused Pallas SpMM path: requested explicitly, or auto-selected when
+    the graph carries precomputed plans (see core.graph.attach_plans)."""
+    if cfg.aggregation == "pallas":
+        if graph.plans is None:
+            raise ValueError(
+                "aggregation='pallas' needs graph.plans — attach with "
+                "gnn_fpga_tpu.core.graph.attach_plans(graph)")
+        return True
+    return cfg.aggregation == "auto" and graph.plans is not None
 
 
 def _dense_edge_logits(params, bo, bi, masks_e, act):
@@ -271,18 +323,21 @@ def segment_classifier_logits(
     masks_n = None if masks is None else masks.get("node")
     if _use_dense(cfg, graph):
         return _dense_mp_logits(params, graph, cfg, masks_e, masks_n, act)
+    use_pallas = _use_pallas(cfg, graph)
+    edge_logits = edge_network_logits_proj if use_pallas else edge_network_logits
     params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
     def body(h, _):
-        e = edge_network(params["edge"], h, graph, masks_e, act)
-        h = node_network(params["node"], h, e, graph, masks_n, act)
+        e = jax.nn.sigmoid(edge_logits(params["edge"], h, graph, masks_e, act))
+        h = node_network(params["node"], h, e, graph, masks_n, act,
+                         use_pallas=use_pallas)
         h = jnp.concatenate([h, x], axis=-1)
         return h, None
 
     h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters, unroll=cfg.unroll)
-    logits = edge_network_logits(params["edge"], h, graph, masks_e, act)
+    logits = edge_logits(params["edge"], h, graph, masks_e, act)
     return logits.astype(jnp.float32)
 
 
@@ -350,20 +405,22 @@ def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
         bi = dinc.gather_bmm(ri, h)
         logits = _dense_edge_logits(params["output"], bo, bi, None, act)
         return logits.astype(jnp.float32)
+    use_pallas = _use_pallas(cfg, graph)
+    edge_logits = edge_network_logits_proj if use_pallas else edge_network_logits
     params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
     def body(h, per_iter):
         ep, np_ = per_iter
-        e = edge_network(ep, h, graph, None, act)
-        h = node_network(np_, h, e, graph, None, act)
+        e = jax.nn.sigmoid(edge_logits(ep, h, graph, None, act))
+        h = node_network(np_, h, e, graph, None, act, use_pallas=use_pallas)
         h = jnp.concatenate([h, x], axis=-1)
         return h, None
 
     h, _ = jax.lax.scan(body, h, (params["edge_stack"], params["node_stack"]),
                         unroll=cfg.unroll)
-    logits = edge_network_logits(params["output"], h, graph, None, act)
+    logits = edge_logits(params["output"], h, graph, None, act)
     return logits.astype(jnp.float32)
 
 
@@ -413,13 +470,16 @@ def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None)
             lambda h, _: body(h, (params["edge"], params["node"])),
             h, None, length=cfg.n_iters, unroll=cfg.unroll)
         return _linear(params["output"], h)[..., 0].astype(jnp.float32)
+    use_pallas = _use_pallas(cfg, graph)
+    edge_logits = edge_network_logits_proj if use_pallas else edge_network_logits
     params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
     def body(h, _):
-        e = edge_network(params["edge"], h, graph, masks_e, act)
-        h = node_network(params["node"], h, e, graph, masks_n, act)
+        e = jax.nn.sigmoid(edge_logits(params["edge"], h, graph, masks_e, act))
+        h = node_network(params["node"], h, e, graph, masks_n, act,
+                         use_pallas=use_pallas)
         h = jnp.concatenate([h, x], axis=-1)
         return h, None
 

@@ -65,9 +65,17 @@ def initialize(coordinator_address: Optional[str] = None,
         # No coordinator address given or auto-detectable: single-process.
         pass
     except RuntimeError as e:
-        # "should only be called once" — initialised elsewhere; anything
-        # else is a real failure.
-        if "once" not in str(e):
+        msg = str(e)
+        if "once" in msg:
+            pass  # initialised elsewhere — fine
+        elif ("before" in msg and coordinator_address is None
+              and num_processes is None):
+            # The XLA backend is already up and no cluster was requested:
+            # a single-process run that computed before calling us. No-op.
+            pass
+        else:
+            # Explicit multi-host request after backend init is a real
+            # ordering bug — surface it.
             raise
     _initialized = True
 

@@ -1,0 +1,254 @@
+"""Fused SpMM/SDDMM Pallas kernels: correctness vs jnp oracles (interpret
+mode on CPU; the same code compiles for TPU), gradient checks through the
+custom VJP, window auto-sizing, and adversarial structures (degree gaps,
+hot nodes, padded edges — SURVEY.md §7 hard part c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from gnn_fpga_tpu.ops.pallas import spmm as sp
+
+
+def _random_graph(seed, v, e, d, local=False):
+    rng = np.random.default_rng(seed)
+    if local:
+        # banded graph: |send - recv| small (tracking-graph locality)
+        senders = rng.integers(0, v - 8, size=e).astype(np.int32)
+        receivers = (senders + rng.integers(1, 8, size=e)).astype(np.int32)
+    else:
+        senders = rng.integers(0, v, size=e).astype(np.int32)
+        receivers = rng.integers(0, v, size=e).astype(np.int32)
+    h = rng.normal(size=(v, d)).astype(np.float32)
+    w = rng.normal(size=(e,)).astype(np.float32)
+    return h, w, senders, receivers
+
+
+@pytest.mark.parametrize("seed,v,e,d", [(0, 24, 64, 16), (1, 50, 128, 8),
+                                        (2, 300, 256, 16)])
+def test_aggregate_pair_matches_oracle(seed, v, e, d):
+    h, w, s, r = _random_graph(seed, v, e, d)
+    plans = sp.build_agg_plans(s, r, v, tile_e=32)
+    with pltpu.force_tpu_interpret_mode():
+        mi, mo = sp.aggregate_pair(jnp.asarray(h), jnp.asarray(w), plans)
+    emi, emo = sp.aggregate_pair_reference(h, w, s, r, v)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(emi),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(emo),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_local_graph_uses_narrow_window():
+    _, _, s, r = _random_graph(3, 4096, 512, 4, local=True)
+    plans = sp.build_agg_plans(s, r, 4096, tile_e=64)
+    # banded structure => window far below the table size
+    assert plans.recv.w_oth <= 1024
+    assert plans.recv.table_rows >= 4096
+
+
+def test_degree_gaps_and_hot_nodes():
+    rng = np.random.default_rng(4)
+    v, e, d = 1000, 64, 8
+    r = np.concatenate([np.full(32, 7), np.full(16, 0), np.full(16, 999)])
+    s = rng.integers(0, v, size=e)
+    h = rng.normal(size=(v, d)).astype(np.float32)
+    w = rng.normal(size=(e,)).astype(np.float32)
+    plans = sp.build_agg_plans(s.astype(np.int32), r.astype(np.int32), v,
+                               tile_e=32)
+    with pltpu.force_tpu_interpret_mode():
+        mi, mo = sp.aggregate_pair(jnp.asarray(h), jnp.asarray(w), plans)
+    emi, emo = sp.aggregate_pair_reference(h, w, s, r, v)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(emi), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(emo), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_masked_pad_edges_contribute_zero():
+    h, w, s, r = _random_graph(5, 40, 64, 8)
+    # last 16 edges are padding: weight zero (the model passes w*edge_mask)
+    w[48:] = 0.0
+    plans = sp.build_agg_plans(s, r, 40, tile_e=32)
+    with pltpu.force_tpu_interpret_mode():
+        mi, mo = sp.aggregate_pair(jnp.asarray(h), jnp.asarray(w), plans)
+    emi, emo = sp.aggregate_pair_reference(
+        h[:, :], w[:48], s[:48], r[:48], 40)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(emi), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(emo), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_sddmm_matches_oracle():
+    rng = np.random.default_rng(6)
+    v, e, d = 64, 128, 16
+    a = rng.normal(size=(v, d)).astype(np.float32)
+    b = rng.normal(size=(v, d)).astype(np.float32)
+    s = rng.integers(0, v, size=e).astype(np.int32)
+    r = rng.integers(0, v, size=e).astype(np.int32)
+    plan = sp.build_edge_plan(r, s, v, tile_e=32)
+    with pltpu.force_tpu_interpret_mode():
+        out = sp.sddmm(jnp.asarray(a), jnp.asarray(b), plan)
+    expect = sp.sddmm_reference(a, b, r, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_aggregate_pair_grads_match_oracle():
+    h, w, s, r = _random_graph(7, 30, 64, 8)
+    plans = sp.build_agg_plans(s, r, 30, tile_e=32)
+
+    def loss_pallas(h, w):
+        mi, mo = sp.aggregate_pair(h, w, plans)
+        return jnp.sum(jnp.sin(mi) * 0.5 + mo ** 2)
+
+    def loss_oracle(h, w):
+        mi, mo = sp.aggregate_pair_reference(h, w, s, r, 30)
+        return jnp.sum(jnp.sin(mi) * 0.5 + mo ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gh, gw = jax.grad(loss_pallas, argnums=(0, 1))(
+            jnp.asarray(h), jnp.asarray(w))
+    egh, egw = jax.grad(loss_oracle, argnums=(0, 1))(
+        jnp.asarray(h), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(egh), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(egw), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_spmm_single_direction_grad():
+    h, w, s, r = _random_graph(8, 30, 64, 8)
+    plans = sp.build_agg_plans(s, r, 30, tile_e=32)
+
+    def loss(h, w):
+        out = sp.spmm(h, w, plans.recv, plans.send)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(h, w):
+        mi, _ = sp.aggregate_pair_reference(h, w, s, r, 30)
+        return jnp.sum(mi ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gh, gw = jax.grad(loss, argnums=(0, 1))(jnp.asarray(h),
+                                                jnp.asarray(w))
+    egh, egw = jax.grad(loss_ref, argnums=(0, 1))(jnp.asarray(h),
+                                                  jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(egh), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(egw), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_window_too_narrow_raises():
+    _, _, s, r = _random_graph(9, 500, 64, 4)
+    with pytest.raises(ValueError, match="window"):
+        sp.build_edge_plan(r, s, 500, tile_e=32, window=128)
+
+
+def test_plan_is_jit_static_compatible():
+    """Plans ride through jit as pytrees; static fields key the cache."""
+    h, w, s, r = _random_graph(10, 24, 64, 8)
+    plans = sp.build_agg_plans(s, r, 24, tile_e=32)
+
+    @jax.jit
+    def f(h, w, plans):
+        mi, mo = sp.aggregate_pair(h, w, plans)
+        return mi.sum() + mo.sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        out = f(jnp.asarray(h), jnp.asarray(w), plans)
+    emi, emo = sp.aggregate_pair_reference(h, w, s, r, 24)
+    np.testing.assert_allclose(float(out),
+                               float(emi.sum() + emo.sum()), rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Model integration: pallas aggregation path matches the sparse path
+# ---------------------------------------------------------------------------
+
+def _packed_graph(seed=0, v=60, e=128, f=3):
+    from gnn_fpga_tpu.core import graph as G
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(v, f)).astype(np.float32)
+    s = rng.integers(0, v, size=e).astype(np.int32)
+    r = rng.integers(0, v, size=e).astype(np.int32)
+    y = rng.integers(0, 2, size=e).astype(np.float32)
+    g = G.from_coo(x, s, r, y)
+    # mask the tail as padding
+    em = np.ones(e, np.float32); em[-16:] = 0
+    g = g.replace(edge_mask=em)
+    return G.attach_plans(g, tile_e=32)
+
+
+def test_segment_classifier_pallas_matches_sparse():
+    from gnn_fpga_tpu.models import mpnn
+    g = _packed_graph()
+    cfg_s = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=8,
+                                         n_iters=2, aggregation="sparse")
+    cfg_p = dataclasses_replace(cfg_s, aggregation="pallas")
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), cfg_s)
+    ls = mpnn.segment_classifier_logits(params, g, cfg_s)
+    with pltpu.force_tpu_interpret_mode():
+        lp = mpnn.segment_classifier_logits(params, g, cfg_p)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_segment_classifier_pallas_grads_match_sparse():
+    from gnn_fpga_tpu.models import mpnn
+    g = _packed_graph(seed=1)
+    cfg_s = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=8,
+                                         n_iters=2, aggregation="sparse")
+    cfg_p = dataclasses_replace(cfg_s, aggregation="pallas")
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(1), cfg_s)
+
+    def loss(params, cfg):
+        logits = mpnn.segment_classifier_logits(params, g, cfg)
+        per = jnp.maximum(logits, 0) - logits * g.y + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return (per * g.edge_mask).sum() / g.edge_mask.sum()
+
+    gs = jax.grad(loss)(params, cfg_s)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss)(params, cfg_p)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_node_classifier_pallas_matches_sparse():
+    from gnn_fpga_tpu.models import mpnn
+    g = _packed_graph(seed=2, f=4)
+    cfg_s = mpnn.NodeClassifierConfig(input_dim=4, hidden_dim=8, n_iters=2,
+                                      aggregation="sparse")
+    cfg_p = dataclasses_replace(cfg_s, aggregation="pallas")
+    params = mpnn.init_node_classifier(jax.random.PRNGKey(2), cfg_s)
+    ls = mpnn.node_classifier_logits(params, g, cfg_s)
+    with pltpu.force_tpu_interpret_mode():
+        lp = mpnn.node_classifier_logits(params, g, cfg_p)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_unshared_pallas_matches_sparse():
+    from gnn_fpga_tpu.models import mpnn
+    g = _packed_graph(seed=3)
+    cfg_s = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=8,
+                                         n_iters=2, aggregation="sparse")
+    cfg_p = dataclasses_replace(cfg_s, aggregation="pallas")
+    params = mpnn.init_segment_classifier_unshared(jax.random.PRNGKey(3),
+                                                   cfg_s)
+    ls = mpnn.segment_classifier_unshared_logits(params, g, cfg_s)
+    with pltpu.force_tpu_interpret_mode():
+        lp = mpnn.segment_classifier_unshared_logits(params, g, cfg_p)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                               rtol=1e-4, atol=1e-5)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
