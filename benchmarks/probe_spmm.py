@@ -59,8 +59,7 @@ def main():
     sj, rj = jnp.asarray(s), jnp.asarray(r)
 
     def report(name, sec, bytes_moved):
-        per_edge = sec / e * 1e9
-        print(f"{name:44s} {sec*1e6:9.1f} us  {bytes_moved/sec/1e9:7.1f} "
+        print(f"{name:46s} {sec*1e6:9.1f} us  {bytes_moved/sec/1e9:7.1f} "
               f"GB/s  {e/sec/1e6:8.1f} Medge/s")
 
     useful = (v * d + 2 * v * d + 3 * e) * dt.itemsize  # h + mi + mo + idx/w
@@ -73,34 +72,48 @@ def main():
                                  num_segments=v)
         return mi + mo
 
+    # sum-of-squares grad: the cotangent depends on the forward output,
+    # so XLA cannot dead-code the fwd (a plain sum's grad can).
+    def fwdbwd(pair):
+        def f(h, w):
+            gh, gw = jax.grad(
+                lambda h, w: jnp.sum(pair(h, w).astype(jnp.float32) ** 2),
+                argnums=(0, 1))(h, w)
+            return gh.astype(jnp.float32) + gw.sum()
+        return f
+
     t = timed(lambda h, w: xla_pair(h, w), (h, w), n_iters=args.iters)
     report("XLA pair fwd", t, useful)
-
-    t = timed(lambda h, w: sum(jax.tree.leaves(jax.grad(
-        lambda h, w: jnp.sum(xla_pair(h, w)), argnums=(0, 1))(h, w))[0]),
-        (h, w), n_iters=args.iters)
-    # grad-of-sum: measures fwd+bwd together
+    t = timed(fwdbwd(xla_pair), (h, w), n_iters=args.iters)
     report("XLA pair fwd+bwd", t, 3 * useful)
 
-    # Pallas fused pair
-    def pallas_pair(h, w):
-        mi, mo = sp.aggregate_pair(h, w, plans)
-        return mi + mo
+    # Pallas fused pair, tile/subtile sweep
+    for tile, sub in ((256, 1), (256, 4), (256, 8), (512, 4)):
+        pl_ = sp.build_agg_plans(s, r, v, tile_e=tile)
 
-    t = timed(lambda h, w: pallas_pair(h, w), (h, w), n_iters=args.iters)
-    report("pallas aggregate_pair fwd", t, useful)
+        def pallas_pair(h, w, pl_=pl_, sub=sub):
+            from gnn_fpga_tpu.ops.pallas import spmm as _sp
+            _sp.DEFAULT_SUBTILES, keep = sub, _sp.DEFAULT_SUBTILES
+            try:
+                mi, mo = sp.aggregate_pair(h, w, pl_)
+            finally:
+                _sp.DEFAULT_SUBTILES = keep
+            return mi + mo
 
-    t = timed(lambda h, w: sum(jax.tree.leaves(jax.grad(
-        lambda h, w: jnp.sum(pallas_pair(h, w)), argnums=(0, 1))(h, w))[0]),
-        (h, w), n_iters=args.iters)
-    report("pallas aggregate_pair fwd+bwd", t, 3 * useful)
+        t = timed(pallas_pair, (h, w), n_iters=args.iters)
+        report(f"pallas pair fwd  t={tile} sub={sub} W={pl_.recv.w_oth}",
+               t, useful)
+        if sub == 4:
+            t = timed(fwdbwd(pallas_pair), (h, w), n_iters=args.iters)
+            report(f"pallas pair fwd+bwd t={tile} sub={sub}", t, 3 * useful)
 
     # correctness spot check on chip
     mi, mo = sp.aggregate_pair(jnp.asarray(h), jnp.asarray(w), plans)
     emi, emo = sp.aggregate_pair_reference(jnp.asarray(h), jnp.asarray(w),
                                            sj, rj, v)
-    err = float(jnp.max(jnp.abs(mi - emi)) + jnp.max(jnp.abs(mo - emo)))
-    print(f"max abs err vs oracle: {err:.2e}")
+    err = float(jnp.max(jnp.abs(mi.astype(jnp.float32) - emi))
+                + jnp.max(jnp.abs(mo.astype(jnp.float32) - emo)))
+    print(f"max abs err vs oracle ({dt.name}): {err:.2e}")
 
 
 if __name__ == "__main__":

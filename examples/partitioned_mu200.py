@@ -2,17 +2,22 @@
 a TPU mesh — the capability the reference lacks (it fell back to batch=2
 and subsampling at 200 pileup, `MPNN_Seg_ACTS_mu200.ipynb`).
 
+The full engine (fit / eval / checkpointing / metrics) is the same
+Trainer as single-device training — only ``strategy="partitioned"``
+changes.  Boundary-node halo exchange keeps per-device activation memory
+at [N/P + halo, D] (see parallel/partition.py).
+
 On a CPU host, exercise with a virtual mesh:
   XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
       python examples/partitioned_mu200.py
 """
 
 import argparse
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 
 def main():
@@ -22,13 +27,15 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--hidden-dim", type=int, default=64)
     ap.add_argument("--n-iters", type=int, default=6)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 mixed-precision sharded forward")
     args = ap.parse_args()
 
     from gnn_fpga_tpu.data import toy2d
     from gnn_fpga_tpu.models import mpnn
     from gnn_fpga_tpu.parallel import mesh as mesh_lib
     from gnn_fpga_tpu.parallel import partition
-    from gnn_fpga_tpu.utils.profiling import StepTimer
+    from gnn_fpga_tpu.train.trainer import Trainer, TrainConfig
 
     n_dev = len(jax.devices())
     print(f"{n_dev} devices: {jax.devices()}")
@@ -39,25 +46,29 @@ def main():
     print(f"graph: {big.n_node} nodes, {big.n_edge} edges")
     pg = jax.tree.map(jnp.asarray, partition.partition_graph(big, n_dev))
     print(f"partitioned: {pg.n_parts} shards x {pg.n_local} nodes, "
-          f"{pg.senders.shape[1]} edges/shard")
+          f"{pg.senders.shape[1]} edges/shard, halo {pg.halo_size}/pair")
 
     mcfg = mpnn.SegmentClassifierConfig(
-        input_dim=2, hidden_dim=args.hidden_dim, n_iters=args.n_iters)
+        input_dim=2, hidden_dim=args.hidden_dim, n_iters=args.n_iters,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
-    optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
-    step = partition.make_sharded_train_step(optimizer, mesh, mcfg)
 
-    timer = StepTimer(warmup=2)
-    for i in range(args.steps):
-        with timer.step(n_edges=int(np.asarray(big.edge_mask).sum())):
-            params, opt_state, loss = step(params, opt_state, pg)
-            jax.block_until_ready(loss)
-        if i % 10 == 0:
-            print(f"step {i}: loss {float(loss):.4f}")
-    s = timer.summary()
-    print(f"mean step {s['mean_s']*1e3:.2f} ms, "
-          f"{s.get('edges_per_s', 0)/1e6:.1f}M edges/s over {n_dev} devices")
+    trainer = Trainer(None, params, TrainConfig(),
+                      strategy="partitioned", mesh=mesh, model_cfg=mcfg)
+
+    def gen():
+        while True:
+            yield pg
+
+    n_edges = int(np.asarray(big.edge_mask).sum())
+    t0 = time.perf_counter()
+    trainer.fit(gen(), n_batches=args.steps, n_epochs=1)
+    dt = time.perf_counter() - t0
+    print(f"loss {trainer.train_losses[-1]:.4f}; "
+          f"{args.steps * n_edges / dt / 1e6:.1f}M edges/s "
+          f"over {n_dev} devices (incl. compile)")
+    m = trainer.evaluate(gen(), 1)
+    print({k: round(v, 4) for k, v in m.items()})
 
 
 if __name__ == "__main__":

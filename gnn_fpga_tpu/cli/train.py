@@ -39,6 +39,9 @@ def parse_args(argv=None):
     add_arg("--learning-rate", type=float, default=1e-3)
     add_arg("--l1", type=float, default=0.0)
     add_arg("--seed", type=int, default=0)
+    add_arg("--n-buckets", type=int, default=1,
+            help="size buckets for padding (one XLA compile per bucket; "
+                 ">1 cuts padding waste on heavy-tailed size mixes)")
     add_arg("--resume", action="store_true",
             help="resume from checkpoint in output-dir")
     add_arg("--train-verbosity", type=int, default=0)
@@ -84,8 +87,17 @@ def main(argv=None):
     logging.info("Valid set size: %i", len(valid_graphs))
     logging.info("Test set size:  %i", len(test_graphs))
 
-    # One shared bucket keeps a single compiled train step.
-    bucket = batching.choose_bucket(graphs)
+    # One shared bucket keeps a single compiled train step; --n-buckets > 1
+    # trades compiles for less padding (heavy-tailed event-size mixes).
+    if args.n_buckets > 1:
+        bucket = batching.choose_buckets(graphs, args.n_buckets)
+        logging.info("Buckets: %s (padding efficiency %.2f -> %.2f)",
+                     bucket,
+                     batching.padding_efficiency(
+                         graphs, batching.choose_bucket(graphs), bs),
+                     batching.padding_efficiency(graphs, bucket, bs))
+    else:
+        bucket = batching.choose_bucket(graphs)
     train_gen = batching.batch_generator(train_graphs, bs, bucket, seed=args.seed)
     valid_gen = (batching.batch_generator(valid_graphs, bs, bucket,
                                           shuffle=False)

@@ -67,10 +67,27 @@ def assign_bucket(g: Graph, specs: Sequence[BucketSpec]) -> BucketSpec:
     raise ValueError(f"no bucket fits graph with {n - 1} nodes / {e} edges")
 
 
+def _bucket_pools(graphs: Sequence[Graph], specs: Sequence[BucketSpec],
+                  batch_size: int) -> List[tuple]:
+    """Assign graphs to the smallest fitting bucket; pools too small to
+    form one batch are merged upward into the next larger bucket."""
+    ordered = sorted(specs, key=lambda s: (s.n_edge, s.n_node))
+    pools: List[List[int]] = [[] for _ in ordered]
+    for gi, g in enumerate(graphs):
+        spec = assign_bucket(g, ordered)
+        pools[ordered.index(spec)].append(gi)
+    for i in range(len(ordered) - 1):
+        if 0 < len(pools[i]) < batch_size:
+            pools[i + 1] = pools[i] + pools[i + 1]
+            pools[i] = []
+    return [(spec, np.array(pool))
+            for spec, pool in zip(ordered, pools) if len(pool) >= batch_size]
+
+
 def batch_generator(
     graphs: Sequence[Graph],
     batch_size: int,
-    bucket: Optional[BucketSpec] = None,
+    bucket=None,
     shuffle: bool = True,
     seed: int = 0,
     packed: bool = False,
@@ -81,6 +98,13 @@ def batch_generator(
     ``packed=True`` yields one flat packed graph of ``B`` events (single
     segment-sum — preferred on TPU).
 
+    ``bucket`` may be a single :class:`BucketSpec` (or None: one bucket
+    covering everything) or a *sequence* of specs (from
+    :func:`choose_buckets`): graphs are then grouped into their smallest
+    fitting bucket and each bucket yields its own static shape — one XLA
+    compile per bucket, far less padding on heavy-tailed size
+    distributions (SURVEY.md §5; the mu200 full-event case).
+
     ``graphs`` may be a list of single graphs or one already-batched Graph
     (as the toy generators return) — the latter is split first.
     """
@@ -88,22 +112,45 @@ def batch_generator(
         graphs = unbatch_graphs(graphs)
     if bucket is None:
         bucket = choose_bucket(graphs)
-    rng = np.random.default_rng(seed)
-    idx = np.arange(len(graphs))
-    n_batches = len(graphs) // batch_size
-    if n_batches == 0:
+    specs = list(bucket) if isinstance(bucket, (list, tuple)) else [bucket]
+    pools = _bucket_pools(graphs, specs, batch_size)
+    if not pools:
         raise ValueError("fewer graphs than batch_size")
+    rng = np.random.default_rng(seed)
+
+    def emit(spec: BucketSpec, chunk: List[Graph]) -> Graph:
+        if packed:
+            return pack_graphs(chunk, n_node=spec.n_node * batch_size,
+                               n_edge=spec.n_edge * batch_size)
+        return batch_graphs(chunk, spec.n_node, spec.n_edge)
+
     while True:
+        plan = []
+        for spec, pool in pools:
+            order = rng.permutation(pool) if shuffle else pool
+            for b in range(len(pool) // batch_size):
+                plan.append((spec, order[b * batch_size:(b + 1) * batch_size]))
         if shuffle:
-            rng.shuffle(idx)
-        for b in range(n_batches):
-            chunk = [graphs[i] for i in idx[b * batch_size:(b + 1) * batch_size]]
-            if packed:
-                yield pack_graphs(chunk,
-                                  n_node=bucket.n_node * batch_size,
-                                  n_edge=bucket.n_edge * batch_size)
-            else:
-                yield batch_graphs(chunk, bucket.n_node, bucket.n_edge)
+            rng.shuffle(plan)
+        for spec, sel in plan:
+            yield emit(spec, [graphs[i] for i in sel])
+
+
+def padding_efficiency(graphs: Sequence[Graph], bucket,
+                       batch_size: int) -> float:
+    """Fraction of padded edge slots holding real edges under the given
+    bucket(s) — the metric multi-bucket batching improves."""
+    if isinstance(graphs, Graph):
+        graphs = unbatch_graphs(graphs)
+    specs = list(bucket) if isinstance(bucket, (list, tuple)) else [bucket]
+    pools = _bucket_pools(graphs, specs, batch_size)
+    real = padded = 0
+    for spec, pool in pools:
+        n_full = len(pool) // batch_size
+        used = pool[: n_full * batch_size]
+        real += sum(int(np.asarray(graphs[i].edge_mask).sum()) for i in used)
+        padded += n_full * batch_size * spec.n_edge
+    return real / max(padded, 1)
 
 
 def n_batches_per_epoch(n_graphs: int, batch_size: int) -> int:

@@ -253,7 +253,8 @@ def from_dense_incidence(x, ri, ro, y, node_y=None) -> Graph:
 # NPZ I/O — file-compatible with the reference's SparseGraph archives
 # ---------------------------------------------------------------------------
 
-_SPARSE_KEYS = ("X", "Ri_rows", "Ri_cols", "Ro_rows", "Ro_cols", "y")
+_SPARSE_KEYS = ("X", "Ri_rows", "Ri_cols", "Ro_rows", "Ro_cols", "y",
+                "node_y")
 
 
 def save_npz(g: Graph, filename, **extra) -> None:
@@ -267,16 +268,19 @@ def save_npz(g: Graph, filename, **extra) -> None:
     em = np.asarray(g.edge_mask) > 0
     nm = np.asarray(g.node_mask) > 0
     cols = np.arange(int(em.sum()), dtype=np.int64)
-    np.savez(
-        filename,
+    arrays = dict(
         X=np.asarray(g.x)[nm],
         Ri_rows=np.asarray(g.receivers)[em].astype(np.int64),
         Ri_cols=cols,
         Ro_rows=np.asarray(g.senders)[em].astype(np.int64),
         Ro_cols=cols,
         y=np.asarray(g.y)[em],
-        **extra,
     )
+    if g.node_y is not None:
+        # Extension key (absent in reference archives): node labels for
+        # the hit-classifier workload (`MPNN_HitClassifier.ipynb`).
+        arrays["node_y"] = np.asarray(g.node_y)[nm]
+    np.savez(filename, **arrays, **extra)
 
 
 def load_npz(filename) -> Graph:
@@ -294,7 +298,7 @@ def load_npz(filename) -> Graph:
     senders = np.zeros(n_edge, dtype=np.int32)
     receivers[data["Ri_cols"].astype(np.int64)] = data["Ri_rows"].astype(np.int32)
     senders[data["Ro_cols"].astype(np.int64)] = data["Ro_rows"].astype(np.int32)
-    return from_coo(x, senders, receivers, y)
+    return from_coo(x, senders, receivers, y, node_y=data.get("node_y"))
 
 
 def load_npz_with_extras(filename):

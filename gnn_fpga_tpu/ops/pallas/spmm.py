@@ -127,14 +127,15 @@ def _window_offsets(ids_t: np.ndarray, window: Optional[int],
     """Per-tile window starts + auto-sized width for sorted-tile ids.
 
     ``ids_t``: [n_tiles, tile_e] the ids each tile gathers.  Offsets are
-    8-aligned (f32 sublane tiling); width is a multiple of 128 (lane
-    count of the one-hot operand)."""
-    mins = _align_down(ids_t.min(axis=1), 8)
+    16-aligned (the bf16 sublane tile; Mosaic must statically prove the
+    dynamic-slice alignment); width is a multiple of 128 (lane count of
+    the one-hot operand)."""
+    mins = _align_down(ids_t.min(axis=1), 16)
     maxs = ids_t.max(axis=1)
     span = int((maxs - mins + 1).max()) if len(ids_t) else 1
     w = _round_up(max(span, 128), 128) if window is None else window
-    table_rows = _round_up(max(table_rows_floor, w), 8)
-    off = np.minimum(mins, table_rows - w).astype(np.int32)
+    table_rows = _round_up(max(table_rows_floor, w), 16)
+    off = np.minimum(mins, _align_down(table_rows - w, 16)).astype(np.int32)
     if ((maxs - off) >= w).any():
         raise ValueError(
             f"window {w} too narrow for tile spans (max local id "
@@ -195,57 +196,82 @@ def build_agg_plans(senders, receivers, n_node: int,
 # SpMM kernel: out[rank] += onehot_rank^T @ (w * (onehot_gather @ h_window))
 # ---------------------------------------------------------------------------
 
-def _spmm_kernel(rank_off_ref, win_off_ref, ranks_ref, oth_ref, w_ref,
-                 h_ref, out_ref, *, w_oth):
-    t = pl.program_id(0)
+# Edge subtiles processed per grid step: amortises the per-step grid/DMA
+# overhead (~1 us on the bench chip) over several MXU tile pairs.
+DEFAULT_SUBTILES = 4
 
-    @pl.when(t == 0)
+
+def _precision_for(dtype) -> jax.lax.Precision:
+    """bf16 inputs are exact in one MXU pass (f32 accumulate); f32 inputs
+    need HIGHEST or they silently round through bf16 (measured max abs
+    err ~0.2 on N(0,1) tables at DEFAULT)."""
+    return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+
+def _spmm_kernel(rank_off_ref, win_off_ref, ranks_ref, oth_ref, w_ref,
+                 h_ref, out_ref, *, w_oth, tile_e, subtiles, precision):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    r0 = rank_off_ref[t]
-    v0 = win_off_ref[t]
-    tile_e = w_ref.shape[0]
-    window = h_ref[pl.ds(v0, w_oth), :]                       # [W, D]
-    loc = oth_ref[:] - v0                                     # [T, 1]
-    gcols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_oth), 1)
-    oh_g = (loc == gcols).astype(h_ref.dtype)                 # [T, W]
-    gathered = jnp.dot(oh_g, window,
-                       preferred_element_type=jnp.float32)    # [T, D] f32
-    msgs = gathered * w_ref[:]                                # [T, D]
-    lr = ranks_ref[:] - r0                                    # [T, 1]
-    scols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_e), 1)
-    oh_s = (lr == scols).astype(h_ref.dtype)                  # [T, T]
-    partial = jax.lax.dot_general(
-        oh_s, msgs.astype(h_ref.dtype),
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                         # [T, D]
-    out_ref[pl.ds(r0, tile_e), :] += partial
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        r0 = rank_off_ref[t]
+        v0 = pl.multiple_of(win_off_ref[t], 16)
+        window = h_ref[pl.ds(v0, w_oth), :]                   # [W, D]
+        loc = oth_ref[sl]                                     # [T, 1]
+        gcols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_oth), 1)
+        oh_g = ((loc - v0) == gcols).astype(h_ref.dtype)      # [T, W]
+        gathered = jnp.dot(oh_g, window,
+                           preferred_element_type=jnp.float32,
+                           precision=precision)              # [T, D] f32
+        msgs = gathered * w_ref[sl]                           # [T, D]
+        lr = ranks_ref[sl] - r0                               # [T, 1]
+        scols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_e), 1)
+        oh_s = (lr == scols).astype(h_ref.dtype)              # [T, T]
+        partial = jax.lax.dot_general(
+            oh_s, msgs.astype(h_ref.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                                     # [T, D]
+        out_ref[pl.ds(r0, tile_e), :] += partial
 
 
 def _spmm_compact(h_table: jax.Array, w_sorted: jax.Array,
-                  plan: EdgePlan) -> jax.Array:
+                  plan: EdgePlan,
+                  subtiles: int | None = None) -> jax.Array:
     """Compact [R_pad, D] f32 rank sums for one direction."""
+    if subtiles is None:
+        subtiles = DEFAULT_SUBTILES  # module attr: tunable at runtime
     e, t = plan.n_edge, plan.tile_e
     d = h_table.shape[1]
     n_ranks_pad = _round_up(plan.n_node + 1, 8) + t
+    while plan.n_tiles % subtiles:
+        subtiles //= 2
+    group = t * subtiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(plan.n_tiles,),
+        grid=(plan.n_tiles // subtiles,),
         in_specs=[
-            pl.BlockSpec((t, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),            # h table
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_spmm_kernel, w_oth=plan.w_oth),
+        functools.partial(_spmm_kernel, w_oth=plan.w_oth, tile_e=t,
+                          subtiles=subtiles,
+                          precision=_precision_for(h_table.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_ranks_pad, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -285,48 +311,60 @@ def _spmm_raw(h: jax.Array, w: jax.Array, plan: EdgePlan) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _sddmm_kernel(seg_off_ref, oth_off_ref, seg_ref, oth_ref,
-                  a_ref, b_ref, out_ref, *, w_seg, w_oth):
-    t = pl.program_id(0)
-    s0 = seg_off_ref[t]
-    v0 = oth_off_ref[t]
-    tile_e = seg_ref.shape[0]
-    a_win = a_ref[pl.ds(s0, w_seg), :]
-    b_win = b_ref[pl.ds(v0, w_oth), :]
-    acols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_seg), 1)
-    bcols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_oth), 1)
-    oh_a = ((seg_ref[:] - s0) == acols).astype(a_ref.dtype)
-    oh_b = ((oth_ref[:] - v0) == bcols).astype(b_ref.dtype)
-    a_rows = jnp.dot(oh_a, a_win, preferred_element_type=jnp.float32)
-    b_rows = jnp.dot(oh_b, b_win, preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.sum(a_rows * b_rows, axis=1, keepdims=True)
+                  a_ref, b_ref, out_ref, *, w_seg, w_oth, tile_e,
+                  subtiles, precision):
+    g = pl.program_id(0)
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        s0 = pl.multiple_of(seg_off_ref[t], 16)
+        v0 = pl.multiple_of(oth_off_ref[t], 16)
+        a_win = a_ref[pl.ds(s0, w_seg), :]
+        b_win = b_ref[pl.ds(v0, w_oth), :]
+        acols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_seg), 1)
+        bcols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_oth), 1)
+        oh_a = ((seg_ref[sl] - s0) == acols).astype(a_ref.dtype)
+        oh_b = ((oth_ref[sl] - v0) == bcols).astype(b_ref.dtype)
+        a_rows = jnp.dot(oh_a, a_win, preferred_element_type=jnp.float32,
+                         precision=precision)
+        b_rows = jnp.dot(oh_b, b_win, preferred_element_type=jnp.float32,
+                         precision=precision)
+        out_ref[sl] = jnp.sum(a_rows * b_rows, axis=1, keepdims=True)
 
 
-def sddmm(a: jax.Array, b: jax.Array, plan: EdgePlan) -> jax.Array:
+def sddmm(a: jax.Array, b: jax.Array, plan: EdgePlan,
+          subtiles: int | None = None) -> jax.Array:
     """Sampled dense-dense matmul: ``out[e] = <a[seg[e]], b[oth[e]]>``.
 
     ``a``/``b``: [n_node, D] tables.  Returns [E] f32 in EDGE order.
     This is the gradient of :func:`_spmm_raw` w.r.t. ``w``, and the
     building block of fused edge scoring (`model.py:69-81`)."""
+    if subtiles is None:
+        subtiles = DEFAULT_SUBTILES
     e, t = plan.n_edge, plan.tile_e
     a = _pad_table(a, plan)
     b = _pad_table(b, plan)
+    while plan.n_tiles % subtiles:
+        subtiles //= 2
+    group = t * subtiles
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(plan.n_tiles,),
+        grid=(plan.n_tiles // subtiles,),
         in_specs=[
-            pl.BlockSpec((t, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t, 1), lambda i, *_: (i, 0),
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t, 1), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         functools.partial(_sddmm_kernel, w_seg=plan.w_seg,
-                          w_oth=plan.w_oth),
+                          w_oth=plan.w_oth, tile_e=t, subtiles=subtiles,
+                          precision=_precision_for(a.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((e, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -9,16 +9,22 @@ graph is *row-partitioned* across the mesh ``graph`` axis:
 - every edge is owned by the device owning its **receiver** (edges sorted
   by receiver in preprocessing), so the receiver-side aggregation
   ``mi = Σ_{e→n} e·h[send]`` is a purely local segment-sum;
-- per message-passing iteration the (small) node-feature matrix is
-  ``all_gather``-ed over ICI so edge gathers are local, and the
-  sender-side aggregation ``mo`` is computed as partials in global node
-  space and ``psum_scatter``-ed back to owners.
+- per message-passing iteration only **boundary (halo) rows** move: each
+  shard pre-computes which remote node rows its edges reference
+  (``need[p][q]``, host-side, once per topology), pulls exactly those via
+  one ``all_to_all``, gathers edges from the local+halo extended table,
+  and pushes the sender-side partials for halo rows back to their owners
+  via the reverse ``all_to_all`` + scatter-add.
 
-Communication per iteration: one all-gather of [N, D+F] activations and
-one reduce-scatter of [N, D+F] partials — both O(N·D), negligible next to
-the O(E·D²) edge/node MLP FLOPs at mu200 scale (E ~ 10-30×N), and both
-ride ICI inside ``shard_map``.  No reference counterpart exists
-(`SURVEY.md §2.3`); this is new capability.
+Communication per iteration: two all-to-alls of ``[P*S, D]`` where ``S``
+is the (padded) max halo size per shard pair — O(boundary·D), not
+O(N·D); per-device activation memory is ``[N/P + P*S, D]`` and shrinks
+~P-fold with good partitions (SURVEY.md §5 "boundary-node feature
+all-to-all overlapped with local segment-sum").  Both collectives ride
+ICI inside ``shard_map``.  ``exchange="allgather"`` keeps the round-1
+full-replication fallback for irregular graphs whose halos approach N.
+No reference counterpart exists (`SURVEY.md §2.3`); this is new
+capability.
 """
 
 from __future__ import annotations
@@ -43,12 +49,18 @@ class PartitionedGraph:
     """A graph split into P receiver-owned shards, stacked on axis 0.
 
     Shapes (per shard, stacked leading P):
-      x:         [P, N_local, F]   node features of owned nodes
-      senders:   [P, E_local]      GLOBAL sender ids
-      receivers: [P, E_local]      LOCAL receiver ids (0.. N_local-1)
-      y:         [P, E_local]      edge labels
-      edge_mask: [P, E_local]
-      node_mask: [P, N_local]
+      x:           [P, N_local, F]   node features of owned nodes
+      senders:     [P, E_local]      GLOBAL sender ids
+      receivers:   [P, E_local]      LOCAL receiver ids (0.. N_local-1)
+      y:           [P, E_local]      edge labels
+      edge_mask:   [P, E_local]
+      node_mask:   [P, N_local]
+      senders_ext: [P, E_local]      sender index into the local+halo
+                                     extended table [N_local + P*S rows]
+      send_idx:    [P, P*S]          local row indices this shard sends;
+                                     block q (size S) = rows destined to
+                                     (and whose mo-partials return from)
+                                     shard q
     """
 
     x: jax.Array
@@ -57,6 +69,9 @@ class PartitionedGraph:
     y: jax.Array
     edge_mask: jax.Array
     node_mask: jax.Array
+    senders_ext: Optional[jax.Array] = None
+    send_idx: Optional[jax.Array] = None
+    node_y: Optional[jax.Array] = None  # [P, N_local] hit-classifier labels
 
     @property
     def n_parts(self) -> int:
@@ -69,6 +84,11 @@ class PartitionedGraph:
     @property
     def n_global(self) -> int:
         return self.x.shape[0] * self.x.shape[1]
+
+    @property
+    def halo_size(self) -> int:
+        """Per-pair halo row count S (padded, static)."""
+        return self.send_idx.shape[-1] // self.n_parts
 
 
 def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
@@ -106,17 +126,63 @@ def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
         max_e = max(max_e, int(sel.sum()))
     max_e = max(max_e, 1)
 
-    def pad_part(s, r, yy):
+    def pad_part(p, s, r, yy):
         e = len(s)
         pad = max_e - e
         return (
-            np.pad(s, (0, pad), constant_values=n_pad - 1),
+            # pad edges point at an OWNED row so they never create halo
+            # demand; edge_mask == 0 zeroes their contributions.
+            np.pad(s, (0, pad), constant_values=p * n_local),
             np.pad(r, (0, pad), constant_values=n_local - 1),
             np.pad(yy, (0, pad)),
             np.pad(np.ones(e, np.float32), (0, pad)),
         )
 
-    padded = [pad_part(*p) for p in parts]
+    padded = [pad_part(p, *part) for p, part in enumerate(parts)]
+
+    # --- halo plan: need[p][q] = q-owned global rows p's edges reference
+    need = [[np.zeros(0, np.int64)] * n_parts for _ in range(n_parts)]
+    for p in range(n_parts):
+        s = padded[p][0]
+        s_owner = s // n_local
+        for q in range(n_parts):
+            if q == p:
+                continue
+            need[p][q] = np.unique(s[s_owner == q])
+    s_pair = max(
+        [len(need[p][q]) for p in range(n_parts) for q in range(n_parts)]
+        + [1])
+    s_pair = _round_up8(s_pair)
+
+    senders_ext = []
+    send_idx = []
+    for p in range(n_parts):
+        s = padded[p][0]
+        s_owner = s // n_local
+        ext = s - p * n_local  # local rows map directly
+        for q in range(n_parts):
+            if q == p:
+                continue
+            sel = s_owner == q
+            # position of each remote sender within need[p][q]
+            pos = np.searchsorted(need[p][q], s[sel])
+            ext[sel] = n_local + q * s_pair + pos
+        senders_ext.append(ext)
+        # rows p sends: block q = what q needs FROM p (pad slots -> row 0;
+        # their returning mo-partials are provably zero, see module doc)
+        blocks = []
+        for q in range(n_parts):
+            rows = (need[q][p] - p * n_local) if q != p else np.zeros(0, np.int64)
+            blocks.append(np.pad(rows, (0, s_pair - len(rows))))
+        send_idx.append(np.concatenate(blocks))
+
+    node_y = None
+    if g.node_y is not None:
+        node_y = np.asarray(g.node_y)
+        if n_pad > n:
+            node_y = np.pad(node_y, (0, n_pad - n))
+        node_y = np.stack(np.split(node_y, n_parts)).astype(np.float32)
+
     return PartitionedGraph(
         x=np.stack(np.split(x, n_parts)).astype(np.float32),
         senders=np.stack([p[0] for p in padded]).astype(np.int32),
@@ -124,7 +190,14 @@ def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
         y=np.stack([p[2] for p in padded]).astype(np.float32),
         edge_mask=np.stack([p[3] for p in padded]).astype(np.float32),
         node_mask=np.stack(np.split(nm, n_parts)).astype(np.float32),
+        senders_ext=np.stack(senders_ext).astype(np.int32),
+        send_idx=np.stack(send_idx).astype(np.int32),
+        node_y=node_y,
     )
+
+
+def _round_up8(x: int) -> int:
+    return ((x + 7) // 8) * 8
 
 
 # ---------------------------------------------------------------------------
@@ -142,81 +215,150 @@ def _global_receivers(shard: PartitionedGraph):
     return shard.receivers + p * shard.x.shape[0]
 
 
-def sharded_segment_classifier_logits(
+def sharded_mpnn_logits(
     params,
     shard: PartitionedGraph,
-    cfg: mpnn.SegmentClassifierConfig,
+    cfg,
     masks: Optional[dict] = None,
+    exchange: str = "halo",
+    head: str = "edge",
+    unshared: bool = False,
 ):
-    """SegmentClassifier forward over one shard, to run INSIDE shard_map
-    with axis ``graph``.  ``shard`` holds this device's slice (no leading P
-    axis).  Returns this shard's edge logits [E_local].
+    """MPNN forward over one shard, to run INSIDE shard_map with axis
+    ``graph``.  ``shard`` holds this device's slice (no leading P axis).
+    Returns this shard's edge logits [E_local] (``head="edge"``) or node
+    logits [N_local] (``head="node"``, `MPNN_HitClassifier.ipynb:cell21`);
+    ``unshared=True`` scans per-iteration weight stacks
+    (`MPNN_Seg_Toy2D.ipynb:cell14`).  Honours ``cfg.compute_dtype``
+    (bf16 mixed precision; logits return in f32).
 
-    Per iteration:  all_gather(h) -> local edge net -> local mi segment-sum
-    -> global mo partials -> psum_scatter -> local node net.
+    ``exchange="halo"`` (default): per iteration, pull only the boundary
+    rows this shard's edges reference (one all_to_all over the
+    precomputed ``send_idx`` plan), gather edges from the local+halo
+    extended table, and push sender-side halo partials back to owners
+    (reverse all_to_all + scatter-add).  Per-device node state is
+    ``[N/P + P*S, D]``.  ``exchange="allgather"`` replicates the full
+    activation matrix each iteration (round-1 behaviour; fallback for
+    partitions with near-total halos).
     Semantics identical to `mpnn.segment_classifier_logits` (`model.py:140-156`).
     """
     act = cfg.activation
     masks_e = None if masks is None else masks.get("edge")
     masks_n = None if masks is None else masks.get("node")
     n_local = shard.x.shape[0]
-    x_local = shard.x
+    params, x_local = mpnn._cast_for_compute(
+        params, shard.x, getattr(cfg, "compute_dtype", None))
+    halo = exchange == "halo"
 
     h_local = act(_linear(params["input"], x_local))
     h_local = jnp.concatenate([h_local, x_local], axis=-1)
 
-    def gather_full(h):
-        """All-gather local activations into the global [N, D] matrix."""
-        return jax.lax.all_gather(
-            h, mesh_lib.GRAPH_AXIS, axis=0, tiled=True)
+    if halo:
+        senders = shard.senders_ext
 
-    def body(h_local, _):
-        h_full = gather_full(h_local)
-        recv_global = _global_receivers(shard)
-        # --- edge network (`model.py:69-81`) on local edges
-        b = jnp.concatenate([h_full[shard.senders], h_full[recv_global]],
-                            axis=-1) * shard.edge_mask[:, None]
+        def extend(h):
+            """Local table + pulled halo rows (one all_to_all)."""
+            send = jnp.take(h, shard.send_idx, axis=0)
+            recv = jax.lax.all_to_all(send, mesh_lib.GRAPH_AXIS,
+                                      split_axis=0, concat_axis=0,
+                                      tiled=True)
+            return jnp.concatenate([h, recv], axis=0)
+
+        def reduce_ext(partials):
+            """Return halo partials to their owners and add in."""
+            local, ext = partials[:n_local], partials[n_local:]
+            back = jax.lax.all_to_all(ext, mesh_lib.GRAPH_AXIS,
+                                      split_axis=0, concat_axis=0,
+                                      tiled=True)
+            return local.at[shard.send_idx].add(back)
+
+        n_ext = n_local + shard.send_idx.shape[0]
+    else:
+        senders = shard.senders
+
+        def extend(h):
+            return jax.lax.all_gather(h, mesh_lib.GRAPH_AXIS, axis=0,
+                                      tiled=True)
+
+        def reduce_ext(partials):
+            return jax.lax.psum_scatter(partials, mesh_lib.GRAPH_AXIS,
+                                        scatter_dimension=0, tiled=True)
+
+        n_ext = n_local * jax.lax.axis_size(mesh_lib.GRAPH_AXIS)
+
+    def recv_idx():
+        if halo:
+            return shard.receivers  # local ids index the extended table
+        return _global_receivers(shard)
+
+    em = shard.edge_mask.astype(x_local.dtype)[:, None]
+
+    def edge_logits(edge_p, h_ext):
+        b = jnp.concatenate([h_ext[senders], h_ext[recv_idx()]],
+                            axis=-1) * em
         m1 = None if masks_e is None else masks_e["l1"]
         m2 = None if masks_e is None else masks_e["l2"]
-        z = act(_linear(params["edge"]["l1"], b, m1))
-        e = jax.nn.sigmoid(_linear(params["edge"]["l2"], z, m2)[..., 0])
+        z = act(_linear(edge_p["l1"], b, m1))
+        return _linear(edge_p["l2"], z, m2)[..., 0]
+
+    def body(h_local, per_iter):
+        edge_p, node_p = per_iter
+        h_ext = extend(h_local)
+        e = jax.nn.sigmoid(edge_logits(edge_p, h_ext))
         # --- node network aggregation (`model.py:113-119`)
-        bo = h_full[shard.senders] * shard.edge_mask[:, None]
-        bi = h_full[recv_global] * shard.edge_mask[:, None]
+        bo = h_ext[senders] * em
+        bi = h_ext[recv_idx()] * em
         # mi: receiver-owned -> purely local
         mi = jax.ops.segment_sum(bo * e[:, None], shard.receivers,
                                  num_segments=n_local)
-        # mo: partials over global senders -> reduce-scatter to owners
-        mo_partial = jax.ops.segment_sum(
-            bi * e[:, None], shard.senders,
-            num_segments=n_local * jax.lax.axis_size(mesh_lib.GRAPH_AXIS))
-        mo = jax.lax.psum_scatter(
-            mo_partial, mesh_lib.GRAPH_AXIS, scatter_dimension=0, tiled=True)
+        # mo: partials over extended sender slots -> return to owners
+        mo_partial = jax.ops.segment_sum(bi * e[:, None], senders,
+                                         num_segments=n_ext)
+        mo = reduce_ext(mo_partial)
         # --- node MLP (`model.py:94-98,120-125`) on local rows
         m = jnp.concatenate([mi, mo, h_local], axis=-1)
         mn1 = None if masks_n is None else masks_n["l1"]
         mn2 = None if masks_n is None else masks_n["l2"]
-        hz = act(_linear(params["node"]["l1"], m, mn1))
-        h_new = act(_linear(params["node"]["l2"], hz, mn2))
+        hz = act(_linear(node_p["l1"], m, mn1))
+        h_new = act(_linear(node_p["l2"], hz, mn2))
         h_local = jnp.concatenate([h_new, x_local], axis=-1)
         return h_local, None
 
-    h_local, _ = jax.lax.scan(body, h_local, None, length=cfg.n_iters,
-                              unroll=cfg.unroll)
+    if unshared:
+        h_local, _ = jax.lax.scan(
+            body, h_local, (params["edge_stack"], params["node_stack"]),
+            unroll=cfg.unroll)
+    else:
+        h_local, _ = jax.lax.scan(
+            body, h_local,
+            jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (cfg.n_iters,) + a.shape),
+                (params["edge"], params["node"])),
+            unroll=cfg.unroll)
 
-    # final edge network on local edges
-    h_full = gather_full(h_local)
-    recv_global = _global_receivers(shard)
-    b = jnp.concatenate([h_full[shard.senders], h_full[recv_global]],
-                        axis=-1) * shard.edge_mask[:, None]
-    m1 = None if masks_e is None else masks_e["l1"]
-    m2 = None if masks_e is None else masks_e["l2"]
-    z = act(_linear(params["edge"]["l1"], b, m1))
-    return _linear(params["edge"]["l2"], z, m2)[..., 0]
+    if head == "node":
+        # per-node sigmoid head on owned rows (`MPNN_HitClassifier.ipynb`)
+        return _linear(params["output"], h_local)[..., 0].astype(jnp.float32)
+    out_p = params["output"] if unshared else params["edge"]
+    return edge_logits(out_p, extend(h_local)).astype(jnp.float32)
 
 
-def make_sharded_forward(mesh: Mesh, cfg: mpnn.SegmentClassifierConfig,
-                         masks=None):
+def sharded_segment_classifier_logits(
+    params,
+    shard: PartitionedGraph,
+    cfg: mpnn.SegmentClassifierConfig,
+    masks: Optional[dict] = None,
+    exchange: str = "halo",
+):
+    """Shared-weight SegmentClassifier over one shard (see
+    :func:`sharded_mpnn_logits`)."""
+    return sharded_mpnn_logits(params, shard, cfg, masks,
+                               exchange=exchange, head="edge")
+
+
+def make_sharded_forward(mesh: Mesh, cfg, masks=None,
+                         exchange: str = "halo", head: str = "edge",
+                         unshared: bool = False):
     """jittable ``(params, pg: PartitionedGraph[P-stacked]) -> logits [P, E]``
     running the sharded forward under shard_map on the ``graph`` axis."""
     from gnn_fpga_tpu.parallel.mesh import shard_map
@@ -224,8 +366,9 @@ def make_sharded_forward(mesh: Mesh, cfg: mpnn.SegmentClassifierConfig,
     def fwd(params, pg: PartitionedGraph):
         def inner(params, pg_shard):
             shard = jax.tree.map(lambda a: a[0], pg_shard)
-            logits = sharded_segment_classifier_logits(
-                params, shard, cfg, masks)
+            logits = sharded_mpnn_logits(
+                params, shard, cfg, masks, exchange=exchange, head=head,
+                unshared=unshared)
             return logits[None]
 
         return shard_map(
@@ -237,11 +380,13 @@ def make_sharded_forward(mesh: Mesh, cfg: mpnn.SegmentClassifierConfig,
     return jax.jit(fwd)
 
 
-def make_sharded_train_step(optimizer, mesh: Mesh,
-                            cfg: mpnn.SegmentClassifierConfig,
-                            l1: float = 0.0, masks=None):
+def make_sharded_train_step(optimizer, mesh: Mesh, cfg,
+                            l1: float = 0.0, masks=None,
+                            exchange: str = "halo", target: str = "edge",
+                            unshared: bool = False):
     """jitted data-parallel-free training step on ONE partitioned graph:
-    masked BCE over all shards (psum), grads psum-ed by shard_map."""
+    masked BCE over all shards (psum), grads psum-ed by shard_map.
+    ``target="node"`` trains the hit classifier on ``pg.node_y``."""
     import optax
     from gnn_fpga_tpu.parallel.mesh import shard_map
     from gnn_fpga_tpu.train.trainer import l1_penalty
@@ -249,11 +394,16 @@ def make_sharded_train_step(optimizer, mesh: Mesh,
     def loss_fn(params, pg: PartitionedGraph):
         def inner(params, pg_shard):
             shard = jax.tree.map(lambda a: a[0], pg_shard)
-            logits = sharded_segment_classifier_logits(
-                params, shard, cfg, masks)
-            per = optax.sigmoid_binary_cross_entropy(logits, shard.y)
-            local_sum = (per * shard.edge_mask).sum()
-            local_cnt = shard.edge_mask.sum()
+            logits = sharded_mpnn_logits(
+                params, shard, cfg, masks, exchange=exchange,
+                head=target, unshared=unshared)
+            if target == "node":
+                targets, mask = shard.node_y, shard.node_mask
+            else:
+                targets, mask = shard.y, shard.edge_mask
+            per = optax.sigmoid_binary_cross_entropy(logits, targets)
+            local_sum = (per * mask).sum()
+            local_cnt = mask.sum()
             total = jax.lax.psum(local_sum, mesh_lib.GRAPH_AXIS)
             cnt = jax.lax.psum(local_cnt, mesh_lib.GRAPH_AXIS)
             return (total / jnp.maximum(cnt, 1.0))[None]
@@ -278,9 +428,7 @@ def make_sharded_train_step(optimizer, mesh: Mesh,
         return params, opt_state, loss
 
     rep = NamedSharding(mesh, P())
+    # prefix pytree: every PartitionedGraph leaf sharded on its P axis
     shard_sh = NamedSharding(mesh, P(mesh_lib.GRAPH_AXIS))
-    pg_sh = PartitionedGraph(x=shard_sh, senders=shard_sh,
-                             receivers=shard_sh, y=shard_sh,
-                             edge_mask=shard_sh, node_mask=shard_sh)
-    return jax.jit(step, in_shardings=(rep, rep, pg_sh),
+    return jax.jit(step, in_shardings=(rep, rep, shard_sh),
                    out_shardings=(rep, rep, rep))

@@ -124,9 +124,31 @@ class Trainer:
         masks=None,
         checkpoint_dir: Optional[str] = None,
         metrics_path: Optional[str] = None,
+        strategy: str = "single",
+        mesh=None,
+        model_cfg=None,
+        exchange: str = "halo",
+        unshared: bool = False,
     ):
+        """``strategy`` selects the execution engine (same fit / run_steps /
+        predict / evaluate / checkpoint semantics for all three):
+
+        - ``"single"``: one device; ``logits_fn(params, graph, masks)``.
+        - ``"dp"``: data parallel over ``mesh``'s ``data`` axis — batched
+          Graphs are sharded on the batch axis, params replicated, the
+          gradient all-reduce derived by GSPMD.
+        - ``"partitioned"``: graph (context) parallel over ``mesh``'s
+          ``graph`` axis — batches are
+          :class:`~gnn_fpga_tpu.parallel.partition.PartitionedGraph`s; the
+          forward runs under shard_map with halo exchange.  Needs
+          ``model_cfg`` (a SegmentClassifier/NodeClassifier config;
+          ``logits_fn`` is unused on this path).
+        """
         self.cfg = cfg
-        self.params = params
+        # own copy: train steps donate their params/opt-state buffers, which
+        # would otherwise invalidate arrays the caller (or a second Trainer
+        # built from the same init) still holds.
+        self.params = jax.tree.map(jnp.array, params)
         self.masks = masks
         self.optimizer = make_optimizer(cfg)
         self.opt_state = self.optimizer.init(params)
@@ -136,7 +158,19 @@ class Trainer:
         self.ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
         self.metrics_path = metrics_path
         self._logits_fn = logits_fn
-        self._build_steps()
+        self.strategy = strategy
+        self.mesh = mesh
+        self._model_cfg = model_cfg
+        self._exchange = exchange
+        self._unshared = unshared
+        if strategy == "single":
+            self._build_steps()
+        elif strategy == "dp":
+            self._build_steps_dp()
+        elif strategy == "partitioned":
+            self._build_steps_partitioned()
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
         from gnn_fpga_tpu.models.mpnn import count_params
         logger("Parameters: %i" % count_params(params))
 
@@ -200,6 +234,107 @@ class Trainer:
         self._train_steps = jax.jit(train_steps_scan, donate_argnums=(0, 1))
         self._eval_loss = jax.jit(eval_loss)
         self._predict = jax.jit(predict_fn)
+
+    def _build_steps_dp(self):
+        """Data-parallel steps: batch axis sharded over mesh 'data', params
+        replicated; GSPMD derives the gradient all-reduce (SURVEY §2.3 —
+        capability the reference lacks)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from gnn_fpga_tpu.parallel import data_parallel as dp
+        from gnn_fpga_tpu.parallel import mesh as mesh_lib
+
+        if self.mesh is None:
+            raise ValueError("strategy='dp' needs a mesh")
+        cfg, mesh, masks = self.cfg, self.mesh, self.masks
+        logits_fn = self._logits_fn
+        self._train_step = dp.make_dp_train_step(
+            logits_fn, self.optimizer, mesh, cfg, masks)
+        self._eval_loss = dp.make_dp_eval_step(logits_fn, mesh, cfg, masks)
+        rep = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+        stacked_sh = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+
+        def predict_fn(params, graph):
+            logits = jax.vmap(lambda g: logits_fn(params, g, masks))(graph)
+            return jax.nn.sigmoid(logits)
+
+        self._predict = jax.jit(predict_fn, in_shardings=(rep, bsh))
+
+        loss_fn = dp.make_dp_loss_fn(logits_fn, cfg, masks)
+        self._train_steps = jax.jit(
+            self._make_scan(loss_fn), donate_argnums=(0, 1),
+            in_shardings=(rep, rep, stacked_sh),
+            out_shardings=(rep, rep, rep))
+
+    def _build_steps_partitioned(self):
+        """Graph-parallel steps over mesh 'graph': batches are
+        PartitionedGraphs; forward under shard_map with halo exchange
+        (parallel/partition.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from gnn_fpga_tpu.parallel import partition as part
+        from gnn_fpga_tpu.parallel import mesh as mesh_lib
+
+        if self.mesh is None or self._model_cfg is None:
+            raise ValueError("strategy='partitioned' needs mesh + model_cfg")
+        mesh, cfg = self.mesh, self.cfg
+        self._train_step = part.make_sharded_train_step(
+            self.optimizer, mesh, self._model_cfg, l1=cfg.l1,
+            masks=self.masks, exchange=self._exchange,
+            target=cfg.target, unshared=self._unshared)
+        fwd = part.make_sharded_forward(
+            mesh, self._model_cfg, masks=self.masks,
+            exchange=self._exchange, head=cfg.target,
+            unshared=self._unshared)
+        self._predict = lambda params, pg: jax.nn.sigmoid(fwd(params, pg))
+
+        def eval_loss(params, pg):
+            logits = fwd(params, pg)
+            targets, mask = self._target_and_mask(pg)
+            return masked_bce_with_logits(logits, targets, mask)
+
+        self._eval_loss = eval_loss
+
+        # scan-of-steps over stacked PartitionedGraphs
+        rep = NamedSharding(mesh, P())
+        stacked_sh = NamedSharding(mesh, P(None, mesh_lib.GRAPH_AXIS))
+        step = self._train_step
+
+        def scan_steps(params, opt_state, stacked):
+            def body(carry, batch):
+                params, opt_state = carry
+                params, opt_state, loss = step(params, opt_state, batch)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), stacked)
+            return params, opt_state, losses
+
+        self._train_steps = jax.jit(
+            scan_steps, donate_argnums=(0, 1),
+            in_shardings=(rep, rep, stacked_sh),
+            out_shardings=(rep, rep, rep))
+
+    def _make_scan(self, loss_fn):
+        optimizer, masks = self.optimizer, self.masks
+
+        def train_steps_scan(params, opt_state, stacked):
+            def body(carry, batch):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                if masks is not None:
+                    from gnn_fpga_tpu.compress.pruning import \
+                        apply_masks_to_params
+                    params = apply_masks_to_params(params, masks)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), stacked)
+            return params, opt_state, losses
+
+        return train_steps_scan
 
     # -- public API --------------------------------------------------------
 
