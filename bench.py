@@ -3,25 +3,34 @@
 
 Default metric (the BASELINE.md:24-28 north-star): edges/s/chip of the
 jitted SegmentClassifier training step at ACTS-mu200 scale — hidden 64,
-6 message-passing iterations, 2 full 200-pileup-scale events per step
-split into 8 phi-sectors each (the reference copes at this scale only
-with batch=2 + subsampling, `MPNN_Seg_ACTS_mu200.ipynb:cell15`) — plus
-the AUC the same run converges to (throughput without learning is
-meaningless; BASELINE.md demands parity).
+6 message-passing iterations (`MPNN_Seg_ACTS_mu200.ipynb:cell15`), 16
+phi-sector-scale graphs of 440 nodes / ~5k windowed candidate edges per
+step — plus the AUC the same run converges to (throughput without
+learning is meaningless; BASELINE.md demands parity).
+
+The graphs use k-NN windowed candidate edges
+(`toy2d.make_knn_segment_graphs`) — the static-shape counterpart of the
+reference's doublet preselection windows (`prepareGraphs.py:101-134`).
+The all-pairs variant at this density is dominated by geometrically
+plausible fakes; the reference's own mu200 training collapses there
+(recall 0.042, `MPNN_Seg_ACTS_mu200.ipynb:cell26`) and so does any
+model of this family — windowed candidates are what real pipelines
+train on, and what the AUC gate is meaningful for.
 
 ``--metric mu10`` keeps the reference's headline config — hidden 32, 4
-iterations, batch 32 (`MPNN_Seg_ACTS.ipynb:cell16,23`) — which has a
-*measured* reference baseline (55 graphs/s on its GPU).  The mu200
-baseline is an estimate (CPU epoch timing extrapolated to sector units),
-so the JSON marks it "estimated".
+iterations, batch 32, all-pairs edges (`MPNN_Seg_ACTS.ipynb:cell16,23`)
+— which has a *measured* reference baseline (55 graphs/s on its GPU).
+The mu200 baseline is an estimate (CPU epoch timing extrapolated to
+sector units), so the JSON marks it "estimated".
 
 Honesty rules (VERDICT r1):
-- every optimizer step consumes a DISTINCT batch (no same-batch
-  re-broadcast XLA could hoist work out of);
+- every optimizer step inside the timed scan consumes a DISTINCT batch
+  (no same-batch re-broadcast XLA could hoist work out of);
 - timing is synchronised by host readback of the per-step losses — NOT
   block_until_ready, which does not reliably block through the
   remote-TPU tunnel (measured: it can return ~1000x early);
-- the AUC is evaluated on held-out graphs after the timed steps.
+- the AUC is evaluated on held-out graphs after the timed steps and
+  GATES the benchmark: no JSON line is printed unless the run learned.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -35,12 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_batches(n_steps, batch, cfg_fn, seed0=0):
-    """n_steps distinct stacked batches (stacked on the scan axis)."""
-    from gnn_fpga_tpu.data import toy2d
-
-    batches = [toy2d.make_segment_graphs(cfg_fn(seed0 + s), batch)
-               for s in range(n_steps)]
+def stack_device(batches):
+    """Stack a list of batched Graphs on a new leading (scan) axis."""
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
                         *batches)
 
@@ -58,29 +63,39 @@ def main():
     args = ap.parse_args()
 
     if args.metric == "mu10":
-        # 32 graphs of 100 nodes / 900 edges; h=32, 4 iters
-        n_layers, n_tracks, batch = 10, 10, 32
-        hidden, n_iters = 32, 4
-        n_steps = 512
+        # 32 graphs of 100 nodes / 900 all-pairs edges; h=32, 4 iters
+        batch, hidden, n_iters = 32, 32, 4
+        n_steps, n_pretrain = 512, 2
         metric = "train_edges_per_s_per_chip_mu10_h32_i4_b32"
         baseline_graphs_per_s = 55.0  # MPNN_Seg_ACTS.ipynb:cell23, measured
         baseline_kind = "measured"
         auc_gate = 0.93
+        tcfg = TrainConfig(learning_rate=1e-3, pos_weight=4.0)
+
+        def make(seed, n):
+            return toy2d.make_segment_graphs(
+                toy2d.Toy2DConfig(n_layers=10, n_tracks=10, seed=seed), n)
     else:
-        # 2 events x 8 sectors of 440 nodes / ~3960 edges; h=64, 6 iters
-        n_layers, n_tracks, batch = 10, 44, 16
-        hidden, n_iters = 64, 6
-        n_steps = 128
-        metric = "train_edges_per_s_per_chip_mu200_h64_i6_ev2"
+        # 16 sector-scale graphs of 440 nodes / 5016 windowed edges;
+        # h=64, 6 iters (the reference mu200 model config)
+        batch, hidden, n_iters = 16, 64, 6
+        n_steps, n_pretrain = 128, 11
+        metric = "train_edges_per_s_per_chip_mu200_h64_i6"
         # reference mu200: batch 2 events, ~37 s/epoch over 89 train graphs
         # on CPU (MPNN_Seg_ACTS_mu200.ipynb) => ~2.4 events/s; in sector
         # units (8 sectors/event) ~19/s.  ESTIMATED, not measured.
         baseline_graphs_per_s = 19.0
         baseline_kind = "estimated"
         auc_gate = 0.93
+        # 1:11 true:fake imbalance — unweighted BCE collapses to the base
+        # rate exactly as the reference's mu200 run does
+        tcfg = TrainConfig(learning_rate=3e-3, pos_weight=8.0)
 
-    cfg_fn = lambda seed: toy2d.Toy2DConfig(n_layers=n_layers,
-                                            n_tracks=n_tracks, seed=seed)
+        def make(seed, n):
+            return toy2d.make_knn_segment_graphs(
+                toy2d.Toy2DConfig(n_layers=20, n_tracks=22, seed=seed), n,
+                k=12)
+
     mcfg = mpnn.SegmentClassifierConfig(
         input_dim=2, hidden_dim=hidden, n_iters=n_iters,
         compute_dtype=jnp.bfloat16, aggregation="dense")
@@ -89,14 +104,24 @@ def main():
     with contextlib.redirect_stdout(io.StringIO()):
         tr = Trainer(
             lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
-            params, TrainConfig())
+            params, tcfg)
 
-    # n_steps DISTINCT batches, one optimizer step each, in ONE device
-    # dispatch (lax.scan); losses readback syncs each call.
-    stacked = make_batches(n_steps, batch, cfg_fn)
-    edges_per_batch = float(np.asarray(stacked.edge_mask[0]).sum())
+    def make_stack(seed0):
+        return stack_device([make(seed0 + s, batch) for s in range(n_steps)])
 
-    tr.run_steps(stacked)  # compile + warm-up (also trains n_steps steps)
+    # Pre-train to past the AUC gate's knee (measured: this config crosses
+    # 0.93 at ~500 steps, 0.95+ by 1500), every step a distinct batch;
+    # first call also compiles the scan.
+    for r in range(n_pretrain):
+        losses = tr.run_steps(make_stack(r * n_steps))
+
+    # Timed region: n_steps DISTINCT batches per rep, one optimizer step
+    # each, in ONE device dispatch (lax.scan); loss readback syncs each
+    # call.  The stacked pytree is reused across reps (separate
+    # dispatches; within-scan batches stay distinct).
+    stacked = make_stack(n_pretrain * n_steps)
+    edges_per_scan = float(np.asarray(stacked.edge_mask).sum())
+    tr.run_steps(stacked)  # warm path for this buffer layout
 
     n_reps = 4
     t0 = time.perf_counter()
@@ -105,7 +130,7 @@ def main():
     dt = time.perf_counter() - t0
 
     graphs_per_s = n_reps * n_steps * batch / dt
-    edges_per_s = n_reps * n_steps * edges_per_batch / dt
+    edges_per_s = n_reps * edges_per_scan / dt
     record = {
         "metric": metric,
         "value": round(edges_per_s, 1),
@@ -116,9 +141,9 @@ def main():
     }
 
     if not args.no_auc:
-        # AUC on held-out graphs after the (1 + n_reps) * n_steps
-        # training steps above — throughput with learning verified.
-        gv = toy2d.make_segment_graphs(cfg_fn(990001), batch)
+        # AUC on held-out graphs after the (n_pretrain + 1 + n_reps) *
+        # n_steps training steps above — throughput with learning verified.
+        gv = make(990001, batch)
         probs = np.asarray(tr._predict(
             tr.params, jax.tree.map(jnp.asarray, gv))).ravel()
         auc = metrics_lib.roc_auc(probs, np.asarray(gv.y).ravel(),

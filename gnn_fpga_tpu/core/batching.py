@@ -70,7 +70,16 @@ def assign_bucket(g: Graph, specs: Sequence[BucketSpec]) -> BucketSpec:
 def _bucket_pools(graphs: Sequence[Graph], specs: Sequence[BucketSpec],
                   batch_size: int) -> List[tuple]:
     """Assign graphs to the smallest fitting bucket; pools too small to
-    form one batch are merged upward into the next larger bucket."""
+    form one batch are merged upward into the next larger bucket.
+
+    Buckets are ordered by edge count, so the destination of a merge may
+    have a *smaller* node target than the merged graphs (bimodal data:
+    many-node/few-edge vs few-node/many-edge); the destination spec is
+    expanded to dominate on both dims so padding never fails mid-epoch.
+    A trailing undersized pool has no larger bucket to merge into — it is
+    dropped with a warning (those graphs would otherwise silently never
+    train).
+    """
     ordered = sorted(specs, key=lambda s: (s.n_edge, s.n_node))
     pools: List[List[int]] = [[] for _ in ordered]
     for gi, g in enumerate(graphs):
@@ -80,6 +89,16 @@ def _bucket_pools(graphs: Sequence[Graph], specs: Sequence[BucketSpec],
         if 0 < len(pools[i]) < batch_size:
             pools[i + 1] = pools[i] + pools[i + 1]
             pools[i] = []
+            ordered[i + 1] = BucketSpec(
+                n_node=max(ordered[i].n_node, ordered[i + 1].n_node),
+                n_edge=max(ordered[i].n_edge, ordered[i + 1].n_edge))
+    if 0 < len(pools[-1]) < batch_size:
+        import warnings
+        warnings.warn(
+            f"bucket {ordered[-1]} holds {len(pools[-1])} graphs < "
+            f"batch_size={batch_size}; they are excluded from every epoch "
+            f"(use fewer buckets or a smaller batch size)",
+            stacklevel=3)
     return [(spec, np.array(pool))
             for spec, pool in zip(ordered, pools) if len(pool) >= batch_size]
 

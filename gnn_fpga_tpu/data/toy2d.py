@@ -120,6 +120,56 @@ def make_segment_graphs(cfg: Toy2DConfig, n_events: int) -> Graph:
     )
 
 
+def make_knn_segment_graphs(cfg: Toy2DConfig, n_events: int,
+                            k: int = 12) -> Graph:
+    """Segment graphs with **windowed** candidate edges: each hit on layer
+    ``l+1`` connects to its ``k`` nearest (in x) hits on layer ``l``.
+
+    This mirrors what the real pipelines do — the reference never feeds
+    all adjacent-layer pairs at high pileup; it preselects doublets with
+    geometric windows (`/root/reference/gnn/prepareGraphs.py:101-134`
+    phi-slope/z0 cuts, `GraphConstructionDev_mu200.ipynb` dphi/dz cuts),
+    keeping ~90-97% of true segments at ~10 candidates per hit.  The
+    k-NN window gives the same sparsity with *static shapes*: exactly
+    ``(n_layers-1) * n_tracks * k`` edges per event, every event.
+
+    At high track density the all-pairs variant (:func:`make_segment_graphs`)
+    is dominated by geometrically plausible fakes (1:n_tracks imbalance)
+    — the regime where the reference's own mu200 training collapses to
+    the base rate (recall 0.042, `MPNN_Seg_ACTS_mu200.ipynb:cell26`).
+    Windowed candidates + ``TrainConfig.pos_weight`` is the learnable
+    counterpart at the same graph size.
+
+    Per-event edge lists differ (data-dependent neighbours), which the
+    batched :class:`Graph` carries natively; shapes stay static.
+    """
+    x, y, r, _ = generate_events(cfg, n_events)
+    nl, nt = cfg.n_layers, cfg.n_tracks
+    kk = min(k, nt)
+    xg = x.reshape(n_events, nl, nt)
+    senders, receivers = [], []
+    for layer in range(nl - 1):
+        # (ev, receiver-hit, sender-hit) |dx|; k smallest per receiver
+        dx = np.abs(xg[:, layer + 1, :, None] - xg[:, layer, None, :])
+        idx = np.argpartition(dx, kk - 1, axis=-1)[..., :kk]
+        s = layer * nt + idx
+        rcv = np.broadcast_to(
+            ((layer + 1) * nt + np.arange(nt))[None, :, None], s.shape)
+        senders.append(s.reshape(n_events, -1))
+        receivers.append(rcv.reshape(n_events, -1))
+    senders = np.concatenate(senders, axis=1).astype(np.int32)
+    receivers = np.concatenate(receivers, axis=1).astype(np.int32)
+    ev = np.arange(n_events)[:, None]
+    ey = (y[ev, senders] == y[ev, receivers]).astype(np.float32)
+    feats = np.stack([x, r / max(r.max(), 1e-9)], axis=-1)
+    n_node = nl * nt
+    return Graph(
+        x=feats, senders=senders, receivers=receivers, y=ey,
+        node_mask=np.ones((n_events, n_node), np.float32),
+        edge_mask=np.ones(senders.shape, np.float32),
+    )
+
+
 def make_gcn_data(cfg: Toy2DConfig, n_events: int, seed_layers: int = 3,
                   norm: str = "row"):
     """Dense-adjacency GCN task data (`GCN_Toy2D.ipynb:cell4,11`).

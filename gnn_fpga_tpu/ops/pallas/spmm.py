@@ -301,8 +301,11 @@ def _spmm_raw(h: jax.Array, w: jax.Array, plan: EdgePlan) -> jax.Array:
     w_sorted = jnp.take(w.astype(jnp.float32), plan.order, axis=0)
     compact = _spmm_compact(_pad_table(h, plan), w_sorted, plan)
     out = jnp.zeros((plan.n_node + 1, h.shape[1]), jnp.float32)
-    out = out.at[plan.node_of_rank].add(
-        compact[: plan.n_node + 1], unique_indices=True)
+    # No unique_indices: every unused rank slot of node_of_rank holds the
+    # same dump index n_node (duplicates), so the unique-indices contract
+    # would be violated (UB).  The duplicate rows contribute zeros and the
+    # dump row is sliced off below.
+    out = out.at[plan.node_of_rank].add(compact[: plan.n_node + 1])
     return out[: plan.n_node].astype(h.dtype)
 
 

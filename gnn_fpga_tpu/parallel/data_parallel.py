@@ -35,7 +35,8 @@ def make_dp_loss_fn(logits_fn: Callable, cfg: TrainConfig, masks=None):
         else:
             targets, mask = graph.node_y, graph.node_mask
         loss = masked_bce_with_logits(
-            logits, targets, mask if cfg.loss_masking else None)
+            logits, targets, mask if cfg.loss_masking else None,
+            cfg.pos_weight)
         if cfg.l1:
             loss = loss + cfg.l1 * l1_penalty(params, masks=masks)
         return loss

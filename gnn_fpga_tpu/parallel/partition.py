@@ -383,7 +383,8 @@ def make_sharded_forward(mesh: Mesh, cfg, masks=None,
 def make_sharded_train_step(optimizer, mesh: Mesh, cfg,
                             l1: float = 0.0, masks=None,
                             exchange: str = "halo", target: str = "edge",
-                            unshared: bool = False):
+                            unshared: bool = False,
+                            pos_weight: float = 1.0):
     """jitted data-parallel-free training step on ONE partitioned graph:
     masked BCE over all shards (psum), grads psum-ed by shard_map.
     ``target="node"`` trains the hit classifier on ``pg.node_y``."""
@@ -402,6 +403,8 @@ def make_sharded_train_step(optimizer, mesh: Mesh, cfg,
             else:
                 targets, mask = shard.y, shard.edge_mask
             per = optax.sigmoid_binary_cross_entropy(logits, targets)
+            if pos_weight != 1.0:
+                per = per * jnp.where(targets > 0.5, pos_weight, 1.0)
             local_sum = (per * mask).sum()
             local_cnt = mask.sum()
             total = jax.lax.psum(local_sum, mesh_lib.GRAPH_AXIS)

@@ -51,6 +51,11 @@ class TrainConfig:
     l1: float = 0.0                    # L1 coeff on edge/node net weights
     target: str = "edge"               # edge -> graph.y ; node -> graph.node_y
     loss_masking: bool = True
+    pos_weight: float = 1.0            # BCE weight on positive targets —
+    # at mu200-scale edge imbalance (~1:40 true:false) unweighted BCE
+    # collapses to the base rate exactly as the reference's does
+    # (`MPNN_Seg_ACTS_mu200.ipynb:cell26`: recall 0.042); pos_weight ~
+    # n_neg/n_pos restores the gradient signal.
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -81,9 +86,13 @@ def l1_penalty(params, modules=("edge", "node"), masks=None) -> jax.Array:
     return total
 
 
-def masked_bce_with_logits(logits, targets, mask):
-    """Mean sigmoid BCE over unmasked elements."""
+def masked_bce_with_logits(logits, targets, mask, pos_weight: float = 1.0):
+    """Mean sigmoid BCE over unmasked elements, with optional positive-class
+    weighting (torch's ``BCEWithLogitsLoss(pos_weight=...)`` semantics)."""
     per = optax.sigmoid_binary_cross_entropy(logits, targets)
+    if pos_weight != 1.0:
+        w = jnp.where(targets > 0.5, pos_weight, 1.0)
+        per = per * w
     if mask is None:
         return per.mean()
     denom = jnp.maximum(mask.sum(), 1.0)
@@ -193,7 +202,8 @@ class Trainer:
             single = lambda g: logits_fn(params, g, masks)
             logits = _maybe_vmap(single, graph)(graph)
             targets, mask = self._target_and_mask(graph)
-            loss = masked_bce_with_logits(logits, targets, mask)
+            loss = masked_bce_with_logits(logits, targets, mask,
+                                          cfg.pos_weight)
             if cfg.l1:
                 loss = loss + cfg.l1 * l1_penalty(params, masks=masks)
             return loss
@@ -280,7 +290,8 @@ class Trainer:
         self._train_step = part.make_sharded_train_step(
             self.optimizer, mesh, self._model_cfg, l1=cfg.l1,
             masks=self.masks, exchange=self._exchange,
-            target=cfg.target, unshared=self._unshared)
+            target=cfg.target, unshared=self._unshared,
+            pos_weight=cfg.pos_weight)
         fwd = part.make_sharded_forward(
             mesh, self._model_cfg, masks=self.masks,
             exchange=self._exchange, head=cfg.target,
@@ -290,7 +301,8 @@ class Trainer:
         def eval_loss(params, pg):
             logits = fwd(params, pg)
             targets, mask = self._target_and_mask(pg)
-            return masked_bce_with_logits(logits, targets, mask)
+            return masked_bce_with_logits(logits, targets, mask,
+                                          cfg.pos_weight)
 
         self._eval_loss = eval_loss
 

@@ -123,3 +123,37 @@ def test_candidate_training_end_to_end():
     tr.fit(gen(), n_batches=1, n_epochs=200)
     m = tr.evaluate(gen(), 1)
     assert m["accuracy"] > 0.85, m
+
+
+def test_knn_segment_graphs_static_shapes_and_labels():
+    """k-NN windowed candidate edges: exact static shapes, receivers on the
+    next layer, k distinct nearest senders, labels = same-track endpoints."""
+    import numpy as np
+    from gnn_fpga_tpu.data import toy2d
+
+    cfg = toy2d.Toy2DConfig(n_layers=6, n_tracks=9, seed=3)
+    k, n_events = 4, 5
+    g = toy2d.make_knn_segment_graphs(cfg, n_events, k=k)
+    nl, nt = cfg.n_layers, cfg.n_tracks
+    assert g.senders.shape == (n_events, (nl - 1) * nt * k)
+    assert g.x.shape == (n_events, nl * nt, 2)
+    x, y, r, l = toy2d.generate_events(cfg, n_events)
+    s, rcv = np.asarray(g.senders), np.asarray(g.receivers)
+    # receiver exactly one layer above sender
+    assert ((rcv // nt) - (s // nt) == 1).all()
+    # the k senders per receiver are the k nearest in |dx| (set equality
+    # against a brute-force oracle) and distinct
+    ev, layer, hit = 2, 3, 5
+    ridx = (layer + 1) * nt + hit
+    mask = rcv[ev] == ridx
+    got = np.sort(s[ev][mask])
+    dx = np.abs(x[ev, layer * nt:(layer + 1) * nt] - x[ev, ridx])
+    want = np.sort(layer * nt + np.argsort(dx)[:k])
+    np.testing.assert_array_equal(got, want)
+    # labels
+    ey = (y[np.arange(n_events)[:, None], s]
+          == y[np.arange(n_events)[:, None], rcv])
+    np.testing.assert_array_equal(np.asarray(g.y), ey.astype(np.float32))
+    # true-segment retention is high (the windows are doublet cuts)
+    kept = float(np.asarray(g.y).sum()) / (n_events * (nl - 1) * nt)
+    assert kept > 0.9

@@ -206,3 +206,31 @@ def test_multibucket_small_pool_merges_upward():
         b = next(gen)
         seen += int(np.asarray(b.edge_mask).sum())
     assert seen == sum(int(np.asarray(g.edge_mask).sum()) for g in gs)
+
+
+def test_bucket_merge_expands_spec_to_dominate():
+    """Merging an under-filled pool upward must expand the destination spec
+    on BOTH dims (ADVICE r2): many-node/few-edge graphs merged into a
+    few-node/many-edge bucket previously raised mid-epoch."""
+    rng = np.random.default_rng(15)
+    gs = ([_random_graph(rng, n_node=100, n_edge=10) for _ in range(6)]
+          + [_random_graph(rng, n_node=20, n_edge=500) for _ in range(6)])
+    specs = batching.choose_buckets(gs, 2)
+    gen = batching.batch_generator(gs, batch_size=8, bucket=specs, seed=0)
+    b = next(gen)  # raised ValueError before the fix
+    assert b.n_node >= 101 and b.n_edge >= 500
+
+
+def test_bucket_trailing_undersized_pool_warns():
+    """Graphs that can never form a batch are dropped loudly, not silently
+    (ADVICE r2)."""
+    import warnings
+    rng = np.random.default_rng(16)
+    gs = ([_random_graph(rng, n_node=8, n_edge=12) for _ in range(8)]
+          + [_random_graph(rng, n_node=60, n_edge=600) for _ in range(2)])
+    specs = batching.choose_buckets(gs, 2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        gen = batching.batch_generator(gs, batch_size=4, bucket=specs, seed=0)
+        next(gen)
+    assert any("excluded from every epoch" in str(x.message) for x in w)
