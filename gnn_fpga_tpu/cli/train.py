@@ -38,6 +38,12 @@ def parse_args(argv=None):
     add_arg("--n-iters", type=int, default=3)
     add_arg("--learning-rate", type=float, default=1e-3)
     add_arg("--l1", type=float, default=0.0)
+    add_arg("--pos-weight", type=float, default=1.0,
+            help="BCE weight on positive edges (~n_fake/n_true escapes "
+                 "base-rate collapse on high-pileup graphs)")
+    add_arg("--prefetch", type=int, default=2,
+            help="host batches prefetched to device ahead of the train "
+                 "step (0 disables)")
     add_arg("--seed", type=int, default=0)
     add_arg("--n-buckets", type=int, default=1,
             help="size buckets for padding (one XLA compile per bucket; "
@@ -99,6 +105,9 @@ def main(argv=None):
     else:
         bucket = batching.choose_bucket(graphs)
     train_gen = batching.batch_generator(train_graphs, bs, bucket, seed=args.seed)
+    if args.prefetch > 0:
+        from gnn_fpga_tpu.core.prefetch import prefetch_to_device
+        train_gen = prefetch_to_device(train_gen, size=args.prefetch)
     valid_gen = (batching.batch_generator(valid_graphs, bs, bucket,
                                           shuffle=False)
                  if n_valid else None)
@@ -112,7 +121,8 @@ def main(argv=None):
         input_dim=n_features, hidden_dim=args.hidden_dim,
         n_iters=args.n_iters)
     params = mpnn.init_segment_classifier(jax.random.PRNGKey(args.seed), mcfg)
-    tcfg = TrainConfig(learning_rate=args.learning_rate, l1=args.l1)
+    tcfg = TrainConfig(learning_rate=args.learning_rate, l1=args.l1,
+                       pos_weight=args.pos_weight)
     ckpt_dir = (os.path.join(args.output_dir, "checkpoints")
                 if args.output_dir else None)
     metrics_path = (os.path.join(args.output_dir, "metrics.jsonl")

@@ -203,10 +203,14 @@ DEFAULT_SUBTILES = 4
 
 def _precision_for(dtype) -> jax.lax.Precision:
     """bf16 inputs are exact in one MXU pass (f32 accumulate); f32 inputs
-    need HIGHEST or they silently round through bf16 (measured max abs
-    err ~0.2 on N(0,1) tables at DEFAULT)."""
+    use HIGH (bf16x3, 3 MXU passes) — NOT DEFAULT, which rounds the table
+    through one bf16 pass (measured max abs err ~0.2 on N(0,1) tables).
+    HIGH is sufficient here because the one-hot operand is exactly
+    representable in bf16 (0/1), so the hi+lo split of the *table* side
+    reconstructs every f32 row exactly; HIGHEST (6 passes) buys nothing
+    for one-hot matmuls and costs 2x (measured err 1.5e-5 both ways)."""
     return (jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
+            else jax.lax.Precision.HIGH)
 
 
 def _spmm_kernel(rank_off_ref, win_off_ref, ranks_ref, oth_ref, w_ref,
@@ -380,6 +384,84 @@ def sddmm(a: jax.Array, b: jax.Array, plan: EdgePlan,
     return jnp.take(out[:, 0], plan.inv_order, axis=0)
 
 
+def _sddmm_dual_kernel(seg_off_ref, oth_off_ref, seg_ref, oth_ref,
+                       p_ref, q_ref, u_ref, v_ref, out_ref, *, w_seg,
+                       w_oth, tile_e, subtiles, precision):
+    """out[e] = <p[seg_e], q[oth_e]> + <u[oth_e], v[seg_e]> — both dot
+    products in one pass, sharing the two one-hot builds (p/v gather with
+    the seg one-hot, q/u with the oth one-hot)."""
+    g = pl.program_id(0)
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        s0 = pl.multiple_of(seg_off_ref[t], 16)
+        v0 = pl.multiple_of(oth_off_ref[t], 16)
+        acols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_seg), 1)
+        bcols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_oth), 1)
+        oh_s = ((seg_ref[sl] - s0) == acols).astype(p_ref.dtype)
+        oh_o = ((oth_ref[sl] - v0) == bcols).astype(p_ref.dtype)
+        dot = lambda oh, win: jnp.dot(oh, win,
+                                      preferred_element_type=jnp.float32,
+                                      precision=precision)
+        p_rows = dot(oh_s, p_ref[pl.ds(s0, w_seg), :])
+        v_rows = dot(oh_s, v_ref[pl.ds(s0, w_seg), :])
+        q_rows = dot(oh_o, q_ref[pl.ds(v0, w_oth), :])
+        u_rows = dot(oh_o, u_ref[pl.ds(v0, w_oth), :])
+        out_ref[sl] = jnp.sum(p_rows * q_rows + u_rows * v_rows,
+                              axis=1, keepdims=True)
+
+
+def sddmm_dual(p: jax.Array, q: jax.Array, u: jax.Array, v: jax.Array,
+               plan: EdgePlan, subtiles: int | None = None) -> jax.Array:
+    """``out[e] = <p[seg[e]], q[oth[e]]> + <u[oth[e]], v[seg[e]]>`` fused.
+
+    One kernel launch instead of two :func:`sddmm` calls — this is the
+    full ``dw`` of :func:`aggregate_pair` expressed in ONE plan's edge
+    order (`model.py:113-119` backward): with the recv plan
+    (seg=recv, oth=send), ``dw = <g_mi[recv], h[send]> +
+    <g_mo[send], h[recv]>`` = ``sddmm_dual(g_mi, h, g_mo, h, recv)``.
+    Returns [E] f32 in EDGE order.
+    """
+    if subtiles is None:
+        subtiles = DEFAULT_SUBTILES
+    e, t = plan.n_edge, plan.tile_e
+    p, q = _pad_table(p, plan), _pad_table(q, plan)
+    u, v = _pad_table(u, plan), _pad_table(v, plan)
+    while plan.n_tiles % subtiles:
+        subtiles //= 2
+    group = t * subtiles
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.n_tiles // subtiles,),
+        in_specs=[
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sddmm_dual_kernel, w_seg=plan.w_seg,
+                          w_oth=plan.w_oth, tile_e=t, subtiles=subtiles,
+                          precision=_precision_for(p.dtype)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((e, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e * (plan.w_seg + plan.w_oth) * p.shape[1],
+            bytes_accessed=(4 * plan.table_rows * p.shape[1] + 3 * e) * 4,
+            transcendentals=0,
+        ),
+    )(plan.seg_win_off, plan.oth_win_off,
+      plan.sorted_seg[:, None], plan.sorted_oth[:, None], p, q, u, v)
+    return jnp.take(out[:, 0], plan.inv_order, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # aggregate_pair: both directions + custom VJP
 # ---------------------------------------------------------------------------
@@ -411,7 +493,9 @@ def _agg_bwd(res, g):
     dh = (_spmm_raw(g_mi, w, plans.send).astype(jnp.float32)
           + _spmm_raw(g_mo, w, plans.recv).astype(jnp.float32))
     # d w[e] = <g_mi[recv_e], h[send_e]> + <g_mo[send_e], h[recv_e]>
-    dw = sddmm(g_mi, h, plans.recv) + sddmm(g_mo, h, plans.send)
+    # — both terms in ONE fused kernel via the recv plan (seg=recv,
+    # oth=send), sharing the one-hot builds.
+    dw = sddmm_dual(g_mi, h, g_mo, h, plans.recv)
     return dh.astype(h.dtype), dw.astype(w.dtype), None
 
 

@@ -157,3 +157,63 @@ def test_knn_segment_graphs_static_shapes_and_labels():
     # true-segment retention is high (the windows are doublet cuts)
     kept = float(np.asarray(g.y).sum()) / (n_events * (nl - 1) * nt)
     assert kept > 0.9
+
+
+def test_exploration_track_spans_and_deltas():
+    """Characterization utilities match a pandas groupby oracle
+    (`ActsExplore1.ipynb:cell14,18`)."""
+    import numpy as np
+    import pandas as pd
+    from gnn_fpga_tpu.data import exploration as ex
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for ev in range(3):
+        for pid in range(4):
+            n = rng.integers(2, 6)
+            r = np.sort(rng.uniform(30, 1000, n))
+            phi0 = rng.uniform(-np.pi, np.pi)
+            phi = phi0 + np.cumsum(rng.normal(0, 0.02, n))
+            phi = (phi + np.pi) % (2 * np.pi) - np.pi
+            z = rng.uniform(-200, 200, n)
+            for i in range(n):
+                rows.append((ev, pid, r[i], phi[i], z[i],
+                             float(np.arcsinh(z[i] / r[i]))))
+    hits = pd.DataFrame(rows, columns=["evtid", "barcode", "r", "phi",
+                                       "z", "eta"])
+    hits = hits.sample(frac=1.0, random_state=0)  # shuffle rows
+
+    spans = ex.track_spans(hits)
+    # oracle via groupby
+    def dphi_fl(df):
+        phi = df.sort_values("r").phi.values
+        d = abs(phi[-1] - phi[0])
+        return 2 * np.pi - d if d > np.pi else d
+    g = hits.groupby(["evtid", "barcode"])
+    np.testing.assert_array_equal(np.sort(spans["nhits"]),
+                                  np.sort(g.size().values))
+    np.testing.assert_allclose(np.sort(spans["dphi"]),
+                               np.sort(g.apply(dphi_fl, include_groups=False).values),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.sort(spans["deta"]),
+        np.sort((g.eta.max() - g.eta.min()).values), rtol=1e-6)
+
+    particles = pd.DataFrame(
+        [(ev, pid, rng.uniform(-np.pi, np.pi), rng.uniform(-2, 2))
+         for ev in range(3) for pid in range(4)],
+        columns=["evtid", "barcode", "phi", "eta"])
+    mult = ex.multiplicities(hits, particles)
+    assert (mult["tracks_per_event"] == 4).all()
+    assert mult["hits_per_event"].sum() == len(hits)
+
+    deltas = ex.hit_particle_deltas(hits, particles)
+    n_pairs = sum((hits.evtid == ev).sum() * 4 for ev in range(3))
+    n_sig = len(deltas["signal"]["dr"])
+    n_bkg = len(deltas["background"]["dr"])
+    assert n_sig + n_bkg == n_pairs
+    assert n_sig == len(hits)  # every hit matches exactly its own particle
+    assert (deltas["signal"]["dr"] >= 0).all()
+
+    occ = ex.layer_occupancy(hits.assign(volid=8, layid=2))
+    assert occ[(8, 2)] == len(hits)

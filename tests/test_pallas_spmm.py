@@ -252,3 +252,23 @@ def test_unshared_pallas_matches_sparse():
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_sddmm_dual_matches_oracle():
+    """Fused dual SDDMM == sum of two single SDDMMs (the dw of
+    aggregate_pair in one kernel)."""
+    rng = np.random.default_rng(17)
+    v, e, d = 64, 128, 16
+    p = rng.normal(size=(v, d)).astype(np.float32)
+    q = rng.normal(size=(v, d)).astype(np.float32)
+    u = rng.normal(size=(v, d)).astype(np.float32)
+    w = rng.normal(size=(v, d)).astype(np.float32)
+    s = rng.integers(0, v, size=e).astype(np.int32)
+    r = rng.integers(0, v, size=e).astype(np.int32)
+    plan = sp.build_edge_plan(r, s, v, tile_e=32)  # seg=recv, oth=send
+    with pltpu.force_tpu_interpret_mode():
+        out = sp.sddmm_dual(*map(jnp.asarray, (p, q, u, w)), plan)
+    expect = (sp.sddmm_reference(p, q, r, s)
+              + sp.sddmm_reference(u, w, s, r))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-4, atol=1e-5)

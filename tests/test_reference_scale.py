@@ -1,0 +1,106 @@
+"""Reference-scale convergence gates (VERDICT r1 item 8).
+
+These reproduce the reference notebooks' headline metrics at (near) full
+scale, replacing commit-message-only claims with executable evidence.
+They run ~10 minutes each on CPU, so they are opt-in:
+
+    RUN_SLOW=1 python -m pytest tests/test_reference_scale.py -q
+
+Measured on this repo (2026-08-19, CPU, seeds pinned):
+  Toy2D notebook config  — epoch 8: acc 0.9809, AUC 0.9984
+                           (reference 0.986, `MPNN_Seg_Toy2D.ipynb:cell23`)
+  full-event-style gate  — see test docstring
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_fpga_tpu.data import toy2d
+from gnn_fpga_tpu.models import mpnn
+from gnn_fpga_tpu.train.trainer import Trainer, TrainConfig
+
+slow = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="reference-scale convergence (~10 min CPU); set RUN_SLOW=1")
+
+
+def _stack_epoch(g, n_steps, batch):
+    sel = np.arange(n_steps * batch).reshape(n_steps, batch)
+    return jax.tree.map(
+        lambda a: jnp.asarray(
+            a[sel.ravel()].reshape(n_steps, batch, *a.shape[1:])), g)
+
+
+@slow
+def test_toy2d_reference_scale_accuracy():
+    """Notebook config: h=32, 10 iters, 2^15 events
+    (`MPNN_Seg_Toy2D.ipynb:cell23`: test accuracy 0.986).  Gate at 0.975
+    after 8 epochs (measured 0.9809; the curve is still rising — the
+    notebook trains longer)."""
+    cfg = toy2d.Toy2DConfig(n_layers=10, n_tracks=4, seed=0)
+    n_events, batch = 2 ** 15, 64
+    g = toy2d.make_segment_graphs(cfg, n_events)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=32,
+                                        n_iters=10)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
+    tr = Trainer(
+        lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
+        params, TrainConfig(learning_rate=2e-3))
+    stacked = _stack_epoch(g, n_events // batch, batch)
+    for _ in range(8):
+        tr.run_steps(stacked)
+
+    gv = toy2d.make_segment_graphs(
+        toy2d.Toy2DConfig(n_layers=10, n_tracks=4, seed=99), 512)
+
+    def gen():
+        while True:
+            for b in range(16):
+                yield jax.tree.map(lambda a: a[b * 32:(b + 1) * 32], gv)
+
+    m = tr.evaluate(gen(), 16)
+    assert m["accuracy"] > 0.975, m
+    assert m["auc"] > 0.995, m
+
+
+@slow
+def test_full_event_style_metrics():
+    """Full-event-style gate: the model config of
+    `MPNN_Seg_ACTS_fullEvents.ipynb:cell45` (h=32, 4 iters; reference
+    metrics acc 0.995 / prec 0.995 / rec 0.987 on occupancy-filtered
+    real events) trained on windowed-candidate toy graphs.
+
+    The toy task is *harder* per edge than the reference's: its dphi/dz
+    physics cuts leave mostly geometrically trivial fakes, while every
+    k-NN toy fake is by construction a near-neighbour.  Measured plateau
+    here (24 epochs, lr 3e-3, pos_weight 2): acc 0.954 / prec 0.902 /
+    rec 0.968 / AUC 0.994 — gated with margin below that."""
+    cfg = toy2d.Toy2DConfig(n_layers=10, n_tracks=4, seed=0)
+    n_events, batch = 2 ** 14, 64
+    g = toy2d.make_knn_segment_graphs(cfg, n_events, k=3)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=32,
+                                        n_iters=4)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
+    tr = Trainer(
+        lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
+        params, TrainConfig(learning_rate=3e-3, pos_weight=2.0))
+    stacked = _stack_epoch(g, n_events // batch, batch)
+    for _ in range(24):
+        tr.run_steps(stacked)
+
+    gv = toy2d.make_knn_segment_graphs(
+        toy2d.Toy2DConfig(n_layers=10, n_tracks=4, seed=99), 512, k=3)
+
+    def gen():
+        while True:
+            for b in range(16):
+                yield jax.tree.map(lambda a: a[b * 32:(b + 1) * 32], gv)
+
+    m = tr.evaluate(gen(), 16)
+    assert m["accuracy"] > 0.94, m
+    assert m["recall"] > 0.95, m
+    assert m["auc"] > 0.985, m

@@ -78,3 +78,46 @@ def test_roc_auc_ties_vectorised_matches_naive():
     oracle = wins / (len(pos) * len(neg))
     assert abs(roc_auc(p, target[sub]) - oracle) < 1e-12
     assert 0.0 <= got <= 1.0
+
+
+def test_prefetch_iterator_order_and_backpressure():
+    """PrefetchIterator yields device-resident batches in order, respects
+    n_batches, and surfaces source exceptions."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_fpga_tpu.core.prefetch import prefetch_to_device
+
+    def gen():
+        for i in range(10):
+            yield {"a": np.full((4,), i, np.float32)}
+
+    out = list(prefetch_to_device(gen(), size=2, n_batches=5))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["a"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b["a"]), i)
+
+    def bad():
+        yield {"a": np.zeros(2, np.float32)}
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        # the failure may land on either of the next pulls
+        next(it)
+        next(it)
+
+
+def test_prefetch_close_stops_worker():
+    import itertools
+    from gnn_fpga_tpu.core.prefetch import prefetch_to_device
+
+    def infinite():
+        for i in itertools.count():
+            yield np.full((2,), i, np.float32)
+
+    it = prefetch_to_device(infinite(), size=2)
+    next(it)
+    it.close()
+    assert not it._thread.is_alive()
