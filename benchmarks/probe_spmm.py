@@ -88,7 +88,7 @@ def main():
     report("XLA pair fwd+bwd", t, 3 * useful)
 
     # Pallas fused pair, tile/subtile sweep
-    for tile, sub in ((256, 1), (256, 4), (256, 8), (512, 4)):
+    for tile, sub in ((256, 8), (256, 16), (128, 8)):
         pl_ = sp.build_agg_plans(s, r, v, tile_e=tile)
 
         def pallas_pair(h, w, pl_=pl_, sub=sub):
@@ -103,9 +103,23 @@ def main():
         t = timed(pallas_pair, (h, w), n_iters=args.iters)
         report(f"pallas pair fwd  t={tile} sub={sub} W={pl_.recv.w_oth}",
                t, useful)
-        if sub == 4:
+        if sub == 8:
             t = timed(fwdbwd(pallas_pair), (h, w), n_iters=args.iters)
             report(f"pallas pair fwd+bwd t={tile} sub={sub}", t, 3 * useful)
+
+    # backward components (tile=256): dh transpose SpMM + fused dual SDDMM
+    g = jnp.asarray(rng.standard_normal((v, d)).astype(dt))
+    hj = jnp.asarray(h)
+    pl256 = sp.build_agg_plans(s, r, v, tile_e=256)
+    t = timed(lambda a, b: sp.sddmm_dual(a, b, a, b, pl256.recv), (g, hj),
+              n_iters=args.iters)
+    report("sddmm_dual (full dw, one kernel)", t, useful)
+    t = timed(lambda a, b: sp.sddmm(a, b, pl256.recv), (g, hj),
+              n_iters=args.iters)
+    report("sddmm single direction", t, useful)
+    t = timed(lambda a, ww: sp._spmm_raw(a, ww, pl256.send), (g, w),
+              n_iters=args.iters)
+    report("spmm single direction", t, useful)
 
     # correctness spot check on chip
     mi, mo = sp.aggregate_pair(jnp.asarray(h), jnp.asarray(w), plans)

@@ -212,10 +212,16 @@ def init_segment_classifier(key, cfg: SegmentClassifierConfig) -> Params:
     }
 
 
-# one-hot bmm beats gather/scatter below this n_node*n_edge product
-# (bf16 one-hot <= ~4MB; measured crossover is far above this on the
-# bench chip, where scatter runs at ~5% of HBM peak)
-_DENSE_AUTO_LIMIT = 2_000_000
+# one-hot bmm beats gather/scatter below this n_node*n_edge product.
+# Measured on the bench chip (TPU v5e, bf16, h=64, i=6 full train step):
+# at V=440/E=5016 (mu200 sector graphs, V*E=2.2M) dense runs the step
+# 6.4x faster than XLA segment_sum and 6.8x faster than the fused
+# Pallas path (4.8 vs 30.4 vs 32.1 ms/step, 16-graph batch) — the
+# one-hot bmm's V*D FLOP amplification is cheaper than any
+# gather/scatter at MXU rates until the one-hot itself (V*E*2B bf16)
+# stops fitting comfortably: 8M ~ 16MB/graph/direction.  Above the
+# limit the sparse/pallas paths win on memory, not speed.
+_DENSE_AUTO_LIMIT = 8_000_000
 
 
 def _use_dense(cfg, graph: Graph) -> bool:

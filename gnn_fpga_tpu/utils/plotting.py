@@ -221,3 +221,54 @@ def plot_weight_histograms(params, filename=None, bins=40):
         fig.savefig(filename)
         plt.close(fig)
     return fig
+
+
+def plot_track_spans(spans, filename=None, bins=40):
+    """Three-panel histogram of per-track nhits / delta-phi / delta-eta —
+    `ActsExplore1.ipynb:cell15` over :func:`data.exploration.track_spans`
+    output."""
+    fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+    for ax, key, label in zip(axes, ("nhits", "dphi", "deta"),
+                              ("Number of hits", r"delta $\phi$",
+                               r"delta $\eta$")):
+        ax.hist(np.asarray(spans[key]), bins=bins)
+        ax.set_xlabel(label)
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig
+
+
+def plot_multiplicities(mult, filename=None, bins=30):
+    """Event track/hit multiplicity histograms
+    (`ActsExplore1.ipynb:cell20`)."""
+    fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+    axes[0].hist(np.asarray(mult["tracks_per_event"]), bins=bins)
+    axes[0].set_xlabel("Event track multiplicity")
+    axes[1].hist(np.asarray(mult["hits_per_event"]), bins=bins)
+    axes[1].set_xlabel("Event hit multiplicity")
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig
+
+
+def plot_hit_particle_deltas(deltas, filename=None, bins=50,
+                             dr_range=(0.0, 1.0)):
+    """Signal-vs-background hit-particle delta-R overlay
+    (`ActsExplore1.ipynb:cell20`) over
+    :func:`data.exploration.hit_particle_deltas` output."""
+    fig, ax = plt.subplots(figsize=(6, 4))
+    kw = dict(bins=bins, range=dr_range, alpha=0.7, log=True)
+    ax.hist(np.asarray(deltas["background"]["dr"]),
+            label="background hits", **kw)
+    ax.hist(np.asarray(deltas["signal"]["dr"]), label="signal hits", **kw)
+    ax.set_xlabel("delta R")
+    ax.legend(loc=1)
+    fig.tight_layout()
+    if filename:
+        fig.savefig(filename)
+        plt.close(fig)
+    return fig

@@ -45,3 +45,36 @@ def test_plot_roc_returns_auc(tmp_path):
     _, auc = plotting.plot_roc(y, p, filename=str(f))
     assert f.exists()
     assert auc > 0.8
+
+
+def test_exploration_plots(tmp_path):
+    """ActsExplore1-style characterization plots render and save."""
+    import numpy as np
+    import pandas as pd
+    from gnn_fpga_tpu.data import exploration as ex
+    from gnn_fpga_tpu.utils import plotting
+
+    rng = np.random.default_rng(8)
+    hits = pd.DataFrame({
+        "evtid": np.repeat(np.arange(4), 12),
+        "barcode": np.tile(np.repeat(np.arange(3), 4), 4),
+        "r": rng.uniform(30, 900, 48),
+        "phi": rng.uniform(-np.pi, np.pi, 48),
+        "z": rng.uniform(-200, 200, 48),
+        "eta": rng.normal(0, 1, 48),
+    })
+    particles = pd.DataFrame({
+        "evtid": np.repeat(np.arange(4), 3),
+        "barcode": np.tile(np.arange(3), 4),
+        "phi": rng.uniform(-np.pi, np.pi, 12),
+        "eta": rng.normal(0, 1, 12),
+    })
+    plotting.plot_track_spans(ex.track_spans(hits),
+                              filename=str(tmp_path / "spans.png"))
+    plotting.plot_multiplicities(ex.multiplicities(hits, particles),
+                                 filename=str(tmp_path / "mult.png"))
+    plotting.plot_hit_particle_deltas(
+        ex.hit_particle_deltas(hits, particles),
+        filename=str(tmp_path / "dr.png"))
+    for f in ("spans.png", "mult.png", "dr.png"):
+        assert (tmp_path / f).stat().st_size > 0
