@@ -58,6 +58,10 @@ class Graph:
     # single packed graphs (no leading batch axis); attach with
     # :func:`attach_plans`.
     plans: Optional[object] = None
+    # Optional blocked (layered) aggregation plan exploiting the
+    # block-diagonal incidence of layered tracking graphs; attach with
+    # :func:`gnn_fpga_tpu.ops.blocked.attach_blocks_layered` (batched ok).
+    blocks: Optional[object] = None
 
     @property
     def n_node(self) -> int:

@@ -186,10 +186,13 @@ class SegmentClassifierConfig:
     unroll: Any = True
     # Aggregation layout: "sparse" = COO gather/segment-sum, "dense" =
     # one-hot incidence bmm on the MXU (13x faster at reference graph
-    # sizes — see ops/dense_incidence.py), "pallas" = fused windowed
-    # SpMM kernels for large packed graphs (requires graph.plans, see
-    # ops/pallas/spmm.py), "auto" = pallas if plans are attached, else
-    # dense iff n_node * n_edge fits a small one-hot.
+    # sizes — see ops/dense_incidence.py), "blocked" = per-layer-pair
+    # block-diagonal incidence bmms (~n_layers x fewer FLOPs on layered
+    # graphs; requires graph.blocks, see ops/blocked.py), "pallas" =
+    # fused windowed SpMM kernels for large packed graphs (requires
+    # graph.plans, see ops/pallas/spmm.py), "auto" = blocked if blocks
+    # attached, else pallas if plans attached, else dense iff
+    # n_node * n_edge fits a small one-hot.
     aggregation: str = "auto"
 
 
@@ -246,6 +249,20 @@ def _use_pallas(cfg, graph: Graph) -> bool:
     return cfg.aggregation == "auto" and graph.plans is not None
 
 
+def _use_blocked(cfg, graph: Graph) -> bool:
+    """Blocked (layered) incidence path: requested explicitly, or
+    auto-selected when the graph carries a BlockedPlan
+    (ops/blocked.attach_blocks_layered)."""
+    if cfg.aggregation == "blocked":
+        if graph.blocks is None:
+            raise ValueError(
+                "aggregation='blocked' needs graph.blocks — attach with "
+                "gnn_fpga_tpu.ops.blocked.attach_blocks_layered(graph, "
+                "layer_offsets)")
+        return True
+    return cfg.aggregation == "auto" and graph.blocks is not None
+
+
 def _dense_edge_logits(params, bo, bi, masks_e, act):
     """Edge MLP on precomputed endpoint features (`model.py:69-81`)."""
     b = jnp.concatenate([bo, bi], axis=-1)
@@ -280,6 +297,60 @@ def _dense_mp_body(ri, ro, x, masks_e, masks_n, act):
         return jnp.concatenate([hn, x], axis=-1), None
 
     return body
+
+
+def _blocked_prelude(params, graph: Graph, cfg, act):
+    """Cast params/features, build the block broadcast matrix + local
+    incidence one-hots (see ops/blocked.py), run the input MLP."""
+    from gnn_fpga_tpu.ops import blocked as blk
+    plan = graph.blocks
+    params, x = _cast_for_compute(params, graph.x, cfg.compute_dtype)
+    g = blk.broadcast_matrix(plan, graph.x.shape[-2], x.dtype)
+    ri, ro = blk.local_incidence(plan, graph.edge_mask, x.dtype)
+    h = act(_linear(params["input"], x))
+    h = jnp.concatenate([h, x], axis=-1)
+    return params, x, g, ri, ro, plan.n_blocks, h
+
+
+def _blocked_mp_body(g, ri, ro, x, masks_e, masks_n, act, n_blocks):
+    """One message-passing iteration in blocked (layered) layout — the
+    same contraction as `_dense_mp_body` restricted to the non-zero
+    blocks of the incidence (~n_layers x fewer FLOPs and HBM reads on
+    layered graphs; see ops/blocked.py).  Edge logits come out in
+    blocked order, which IS the graph's edge order after
+    `attach_blocks_layered`."""
+    from gnn_fpga_tpu.ops import blocked as blk
+
+    def body(h, per_iter):
+        edge_p, node_p = per_iter
+        hb = blk.gather_blocks(g, h, n_blocks)
+        bo = blk.gather_bmm(ro, hb)
+        bi = blk.gather_bmm(ri, hb)
+        e = jax.nn.sigmoid(_dense_edge_logits(edge_p, bo, bi, masks_e, act))
+        mi = blk.reduce_blocks(g, blk.scatter_bmm(ri, bo, e))
+        mo = blk.reduce_blocks(g, blk.scatter_bmm(ro, bi, e))
+        m = jnp.concatenate([mi, mo, h], axis=-1)
+        m1 = None if masks_n is None else masks_n["l1"]
+        m2 = None if masks_n is None else masks_n["l2"]
+        z = act(_linear(node_p["l1"], m, m1))
+        hn = act(_linear(node_p["l2"], z, m2))
+        return jnp.concatenate([hn, x], axis=-1), None
+
+    return body
+
+
+def _blocked_mp_logits(params, graph: Graph, cfg, masks_e, masks_n, act):
+    """SegmentClassifier forward on the blocked MXU path."""
+    from gnn_fpga_tpu.ops import blocked as blk
+    params, x, g, ri, ro, nb, h = _blocked_prelude(params, graph, cfg, act)
+    body = _blocked_mp_body(g, ri, ro, x, masks_e, masks_n, act, nb)
+    h, _ = jax.lax.scan(lambda h, _: body(h, (params["edge"], params["node"])),
+                        h, None, length=cfg.n_iters, unroll=cfg.unroll)
+    hb = blk.gather_blocks(g, h, nb)
+    bo = blk.gather_bmm(ro, hb)
+    bi = blk.gather_bmm(ri, hb)
+    logits = _dense_edge_logits(params["edge"], bo, bi, masks_e, act)
+    return logits.reshape(-1).astype(jnp.float32)
 
 
 def _dense_prelude(params, graph: Graph, cfg, act):
@@ -327,6 +398,8 @@ def segment_classifier_logits(
     act = cfg.activation
     masks_e = None if masks is None else masks.get("edge")
     masks_n = None if masks is None else masks.get("node")
+    if _use_blocked(cfg, graph):
+        return _blocked_mp_logits(params, graph, cfg, masks_e, masks_n, act)
     if _use_dense(cfg, graph):
         return _dense_mp_logits(params, graph, cfg, masks_e, masks_n, act)
     use_pallas = _use_pallas(cfg, graph)
@@ -401,6 +474,18 @@ def init_segment_classifier_unshared(key, cfg: SegmentClassifierConfig) -> Param
 
 def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
     act = cfg.activation
+    if _use_blocked(cfg, graph):
+        from gnn_fpga_tpu.ops import blocked as blk
+        params, x, g, ri, ro, nb, h = _blocked_prelude(params, graph, cfg, act)
+        body = _blocked_mp_body(g, ri, ro, x, None, None, act, nb)
+        h, _ = jax.lax.scan(body, h,
+                            (params["edge_stack"], params["node_stack"]),
+                            unroll=cfg.unroll)
+        hb = blk.gather_blocks(g, h, nb)
+        bo = blk.gather_bmm(ro, hb)
+        bi = blk.gather_bmm(ri, hb)
+        logits = _dense_edge_logits(params["output"], bo, bi, None, act)
+        return logits.reshape(-1).astype(jnp.float32)
     if _use_dense(cfg, graph):
         params, x, ri, ro, h = _dense_prelude(params, graph, cfg, act)
         body = _dense_mp_body(ri, ro, x, None, None, act)
