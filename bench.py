@@ -1,27 +1,36 @@
 #!/usr/bin/env python3
 """Training-throughput benchmark (single chip).
 
-Default metric (the BASELINE.md:24-28 north-star): edges/s/chip of the
-jitted SegmentClassifier training step at ACTS-mu200 scale — hidden 64,
-6 message-passing iterations (`MPNN_Seg_ACTS_mu200.ipynb:cell15`), 16
+Emits one JSON line per metric; the LAST line is the headline
+(BASELINE.md:24-28 north-star): edges/s/chip of the jitted
+SegmentClassifier training step at ACTS-mu200 scale — hidden 64, 6
+message-passing iterations (`MPNN_Seg_ACTS_mu200.ipynb:cell15`), 16
 phi-sector-scale graphs of 440 nodes / ~5k windowed candidate edges per
 step — plus the AUC the same run converges to (throughput without
-learning is meaningless; BASELINE.md demands parity).
+learning is meaningless; BASELINE.md demands parity).  The mu200 step
+runs the **blocked layered-incidence** aggregation (`ops/blocked.py`,
+group=4) — measured fastest at this scale (2.6 vs 3.7 ms/step dense vs
+40 ms sparse; `benchmarks/probe_blocked.py`).
 
-The graphs use k-NN windowed candidate edges
-(`toy2d.make_knn_segment_graphs`) — the static-shape counterpart of the
-reference's doublet preselection windows (`prepareGraphs.py:101-134`).
-The all-pairs variant at this density is dominated by geometrically
-plausible fakes; the reference's own mu200 training collapses there
-(recall 0.042, `MPNN_Seg_ACTS_mu200.ipynb:cell26`) and so does any
-model of this family — windowed candidates are what real pipelines
-train on, and what the AUC gate is meaningful for.
+Metrics (``--metric``, default ``all`` = mu10, fullevent, then mu200):
 
-``--metric mu10`` keeps the reference's headline config — hidden 32, 4
-iterations, batch 32, all-pairs edges (`MPNN_Seg_ACTS.ipynb:cell16,23`)
-— which has a *measured* reference baseline (55 graphs/s on its GPU).
-The mu200 baseline is an estimate (CPU epoch timing extrapolated to
-sector units), so the JSON marks it "estimated".
+- ``mu10``   — the reference's measured headline config: hidden 32, 4
+  iterations, batch 32, all-pairs edges (`MPNN_Seg_ACTS.ipynb:cell16,23`,
+  55 graphs/s measured on its GPU).
+- ``fullevent`` — ONE packed graph of V=16,000 / E=182,400 kNN windowed
+  edges per step (the `MPNN_Seg_ACTS_fullEvents.ipynb` axis at mu200
+  pileup): the regime the fused Pallas SpMM/SDDMM kernels
+  (`ops/pallas/spmm.py`) were built for; the record carries the XLA
+  sparse-path time for comparison.
+- ``mu200``  — the headline above.  Its baseline is an ESTIMATE (CPU
+  epoch timing extrapolated to sector units, the reference publishes no
+  mu200 throughput); the JSON marks it "estimated".  mu10's baseline is
+  measured.
+
+Every record also carries useful-FLOP accounting (`utils/flops.py`):
+``ms_per_step``, ``useful_tflops`` (sparse-equivalent model FLOP rate)
+and ``mfu`` (fraction of chip peak bf16) — the honesty number that
+separates kernel efficiency from dispatch amortisation.
 
 Honesty rules (VERDICT r1):
 - every optimizer step inside the timed scan consumes a DISTINCT batch
@@ -29,10 +38,8 @@ Honesty rules (VERDICT r1):
 - timing is synchronised by host readback of the per-step losses — NOT
   block_until_ready, which does not reliably block through the
   remote-TPU tunnel (measured: it can return ~1000x early);
-- the AUC is evaluated on held-out graphs after the timed steps and
-  GATES the benchmark: no JSON line is printed unless the run learned.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+- the AUC is evaluated on >=64 held-out graphs after the timed steps and
+  GATES each metric: no JSON line is printed unless the run learned.
 """
 
 import argparse
@@ -50,112 +57,250 @@ def stack_device(batches):
                         *batches)
 
 
-def main():
+def make_trainer(mcfg, tcfg, seed=0):
+    import io, contextlib
+
+    from gnn_fpga_tpu.models import mpnn
+    from gnn_fpga_tpu.train.trainer import Trainer
+
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(seed), mcfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        return Trainer(
+            lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
+            params, tcfg)
+
+
+def timed_run(tr, make_stack, n_pretrain, n_steps, n_reps=4):
+    """Pretrain past the AUC knee, then time n_reps x n_steps distinct-
+    batch optimizer steps (one lax.scan dispatch per rep; loss readback
+    syncs each call).  Returns (seconds, edges_per_scan, last_losses)."""
+    for r in range(n_pretrain):
+        losses = tr.run_steps(make_stack(r))
+    stacked = make_stack(n_pretrain)
+    edges_per_scan = float(np.asarray(stacked.edge_mask).sum())
+    tr.run_steps(stacked)  # warm path for this buffer layout
+    t0 = time.perf_counter()
+    for rep in range(n_reps):
+        losses = tr.run_steps(stacked)
+    return time.perf_counter() - t0, n_reps * edges_per_scan, losses
+
+
+def gated_auc(tr, graphs_eval, gate, record):
+    """Held-out AUC after training; raises unless the run learned."""
+    from gnn_fpga_tpu.train import metrics as metrics_lib
+
+    probs, ys, ms = [], [], []
+    for gv in graphs_eval:
+        p = np.asarray(tr._predict(tr.params,
+                                   jax.tree.map(jnp.asarray, gv))).ravel()
+        probs.append(p)
+        ys.append(np.asarray(gv.y).ravel())
+        ms.append(np.asarray(gv.edge_mask).ravel())
+    auc = metrics_lib.roc_auc(np.concatenate(probs), np.concatenate(ys),
+                              np.concatenate(ms))
+    record["auc"] = round(float(auc), 4)
+    record["auc_gate"] = gate
+    if auc < gate:
+        raise SystemExit(
+            f"AUC {auc:.4f} below gate {gate} — throughput without "
+            f"learning is not a benchmark: {json.dumps(record)}")
+
+
+def flop_fields(record, mcfg, n_node_real, n_edge_real, steps_per_s):
+    from gnn_fpga_tpu.utils import flops as fl
+
+    fwd = fl.segment_classifier_flops(
+        n_node_real, n_edge_real, mcfg.hidden_dim, mcfg.n_iters,
+        mcfg.input_dim)
+    rate = fl.train_step_flops(fwd) * steps_per_s
+    record["ms_per_step"] = round(1e3 / steps_per_s, 3)
+    record["useful_tflops"] = round(rate / 1e12, 4)
+    m = fl.mfu(rate)
+    record["mfu"] = None if m is None else round(m, 5)
+
+
+def run_mu10(no_auc: bool):
+    """Reference headline config — MEASURED baseline (55 graphs/s GPU)."""
     from gnn_fpga_tpu.data import toy2d
     from gnn_fpga_tpu.models import mpnn
-    from gnn_fpga_tpu.train import metrics as metrics_lib
-    from gnn_fpga_tpu.train.trainer import Trainer, TrainConfig
+    from gnn_fpga_tpu.train.trainer import TrainConfig
 
+    batch, hidden, n_iters, n_steps = 32, 32, 4, 512
+    mcfg = mpnn.SegmentClassifierConfig(
+        input_dim=2, hidden_dim=hidden, n_iters=n_iters,
+        compute_dtype=jnp.bfloat16, aggregation="dense")
+    tr = make_trainer(mcfg, TrainConfig(learning_rate=1e-3, pos_weight=4.0))
+
+    def make(seed, n):
+        return toy2d.make_segment_graphs(
+            toy2d.Toy2DConfig(n_layers=10, n_tracks=10, seed=seed), n)
+
+    def make_stack(r):
+        return stack_device([make(r * n_steps + s, batch)
+                             for s in range(n_steps)])
+
+    dt, edges, losses = timed_run(tr, make_stack, n_pretrain=2,
+                                  n_steps=n_steps)
+    graphs_per_s = 4 * n_steps * batch / dt
+    record = {
+        "metric": "train_edges_per_s_per_chip_mu10_h32_i4_b32",
+        "value": round(edges / dt, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(graphs_per_s / 55.0, 2),
+        "baseline": "measured",
+        "final_loss": round(float(losses[-1]), 4),
+    }
+    flop_fields(record, mcfg, batch * 100, batch * 900,
+                4 * n_steps / dt)
+    if not no_auc:
+        gated_auc(tr, [make(990001 + i, batch) for i in range(2)],
+                  0.93, record)
+    print(json.dumps(record), flush=True)
+
+
+def run_mu200(no_auc: bool):
+    """Headline: sector-scale mu200 config on the blocked layered path."""
+    from gnn_fpga_tpu.data import toy2d
+    from gnn_fpga_tpu.models import mpnn
+    from gnn_fpga_tpu.ops import blocked as blk
+    from gnn_fpga_tpu.train.trainer import TrainConfig
+
+    batch, hidden, n_iters, n_steps, group = 16, 64, 6, 128, 4
+    cfg0 = toy2d.Toy2DConfig(n_layers=20, n_tracks=22)
+    offs = toy2d.layer_offsets(cfg0)
+    block_e = -(-group * cfg0.n_tracks * 12 // 8) * 8
+    mcfg = mpnn.SegmentClassifierConfig(
+        input_dim=2, hidden_dim=hidden, n_iters=n_iters,
+        compute_dtype=jnp.bfloat16, aggregation="blocked")
+    # 1:11 true:fake imbalance — unweighted BCE collapses to the base
+    # rate exactly as the reference's mu200 run does
+    tr = make_trainer(mcfg, TrainConfig(learning_rate=3e-3, pos_weight=8.0))
+
+    def make(seed, n, blocks=True):
+        g = toy2d.make_knn_segment_graphs(
+            toy2d.Toy2DConfig(n_layers=20, n_tracks=22, seed=seed), n, k=12)
+        if blocks:
+            g = blk.attach_blocks_layered(g, offs, group=group,
+                                          block_e=block_e)
+        return g
+
+    def make_stack(r):
+        return stack_device([make(r * n_steps + s, batch)
+                             for s in range(n_steps)])
+
+    # Pre-train to past the AUC gate's knee (measured: this config crosses
+    # 0.93 at ~500 steps, 0.95+ by 1500), every step a distinct batch.
+    dt, edges, losses = timed_run(tr, make_stack, n_pretrain=11,
+                                  n_steps=n_steps)
+    graphs_per_s = 4 * n_steps * batch / dt
+    # reference mu200: batch 2 events, ~37 s/epoch over 89 train graphs
+    # on CPU (MPNN_Seg_ACTS_mu200.ipynb) => ~2.4 events/s; in sector
+    # units (8 sectors/event) ~19/s.  ESTIMATED, not measured.
+    record = {
+        "metric": "train_edges_per_s_per_chip_mu200_h64_i6",
+        "value": round(edges / dt, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(graphs_per_s / 19.0, 2),
+        "baseline": "estimated",
+        "aggregation": f"blocked_g{group}",
+        "final_loss": round(float(losses[-1]), 4),
+    }
+    flop_fields(record, mcfg, batch * 440, batch * 5016, 4 * n_steps / dt)
+    if not no_auc:
+        # the eval graphs skip block attachment: prediction routes through
+        # the same params on the dense path (identical logits, parity-
+        # tested in tests/test_blocked.py)
+        eval_cfg = mpnn.SegmentClassifierConfig(
+            input_dim=2, hidden_dim=hidden, n_iters=n_iters,
+            compute_dtype=jnp.bfloat16, aggregation="dense")
+        import io, contextlib
+        from gnn_fpga_tpu.train.trainer import Trainer
+        with contextlib.redirect_stdout(io.StringIO()):
+            ev = Trainer(
+                lambda p, gr, m: mpnn.segment_classifier_logits(
+                    p, gr, eval_cfg, m),
+                tr.params, TrainConfig())
+        gated_auc(ev, [make(990001 + i, batch, blocks=False)
+                       for i in range(4)], 0.93, record)
+    print(json.dumps(record), flush=True)
+
+
+def run_fullevent(no_auc: bool):
+    """One packed V=16k/E=182k graph per step — the Pallas kernel regime."""
+    from gnn_fpga_tpu.core import graph as graph_lib
+    from gnn_fpga_tpu.data import toy2d
+    from gnn_fpga_tpu.models import mpnn
+    from gnn_fpga_tpu.train.trainer import TrainConfig
+
+    n_tracks, n_layers, k = 800, 20, 12
+    v = n_layers * n_tracks                      # 16000
+    e_real = (n_layers - 1) * n_tracks * k       # 182400
+    n_edge = -(-e_real // 256) * 256             # plans need tile multiples
+    n_node = v + 8
+    n_steps = 24
+
+    def make(seed, plans=True):
+        g = toy2d.make_knn_segment_graphs(
+            toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks,
+                              seed=seed), 1, k=k)
+        g = jax.tree.map(lambda a: a[0], g)
+        g = graph_lib.pad_graph(g, n_node, n_edge)
+        if plans:
+            # window 1024: a sorted edge tile that crosses a layer-pair
+            # boundary references sender ids spanning ~n_tracks (=800)
+            g = graph_lib.attach_plans(g, tile_e=256, window=1024)
+        return g
+
+    def run(agg, n_pretrain):
+        mcfg = mpnn.SegmentClassifierConfig(
+            input_dim=2, hidden_dim=64, n_iters=6,
+            compute_dtype=jnp.bfloat16, aggregation=agg)
+        tr = make_trainer(mcfg, TrainConfig(learning_rate=3e-3,
+                                            pos_weight=8.0))
+
+        def make_stack(r):
+            return stack_device([make(r * n_steps + s, plans=agg == "pallas")
+                                 for s in range(n_steps)])
+
+        dt, edges, losses = timed_run(tr, make_stack, n_pretrain, n_steps)
+        return tr, mcfg, dt, edges, losses
+
+    # comparison path first (XLA sparse), minimal pretrain: timing only
+    _, _, dt_sparse, edges_sparse, _ = run("sparse", n_pretrain=0)
+    tr, mcfg, dt, edges, losses = run("pallas", n_pretrain=3)
+    record = {
+        "metric": "train_edges_per_s_per_chip_fullevent_v16k_h64_i6",
+        "value": round(edges / dt, 1),
+        "unit": "edges/s",
+        "vs_baseline": round((edges / dt) / (edges_sparse / dt_sparse), 2),
+        "baseline": "xla_sparse_same_chip",
+        "aggregation": "pallas",
+        "sparse_ms_per_step": round(dt_sparse / (4 * n_steps) * 1e3, 3),
+        "final_loss": round(float(losses[-1]), 4),
+    }
+    flop_fields(record, mcfg, v, e_real, 4 * n_steps / dt)
+    if not no_auc:
+        gated_auc(tr, [make(990001, plans=True)], 0.93, record)
+    print(json.dumps(record), flush=True)
+
+
+def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", choices=["mu10", "mu200"], default="mu200")
+    ap.add_argument("--metric",
+                    choices=["mu10", "mu200", "fullevent", "all"],
+                    default="all")
     ap.add_argument("--no-auc", action="store_true",
                     help="skip the AUC evaluation (throughput only)")
     args = ap.parse_args()
 
-    if args.metric == "mu10":
-        # 32 graphs of 100 nodes / 900 all-pairs edges; h=32, 4 iters
-        batch, hidden, n_iters = 32, 32, 4
-        n_steps, n_pretrain = 512, 2
-        metric = "train_edges_per_s_per_chip_mu10_h32_i4_b32"
-        baseline_graphs_per_s = 55.0  # MPNN_Seg_ACTS.ipynb:cell23, measured
-        baseline_kind = "measured"
-        auc_gate = 0.93
-        tcfg = TrainConfig(learning_rate=1e-3, pos_weight=4.0)
-
-        def make(seed, n):
-            return toy2d.make_segment_graphs(
-                toy2d.Toy2DConfig(n_layers=10, n_tracks=10, seed=seed), n)
+    runners = {"mu10": run_mu10, "mu200": run_mu200,
+               "fullevent": run_fullevent}
+    if args.metric == "all":
+        order = ["mu10", "fullevent", "mu200"]  # headline LAST
     else:
-        # 16 sector-scale graphs of 440 nodes / 5016 windowed edges;
-        # h=64, 6 iters (the reference mu200 model config)
-        batch, hidden, n_iters = 16, 64, 6
-        n_steps, n_pretrain = 128, 11
-        metric = "train_edges_per_s_per_chip_mu200_h64_i6"
-        # reference mu200: batch 2 events, ~37 s/epoch over 89 train graphs
-        # on CPU (MPNN_Seg_ACTS_mu200.ipynb) => ~2.4 events/s; in sector
-        # units (8 sectors/event) ~19/s.  ESTIMATED, not measured.
-        baseline_graphs_per_s = 19.0
-        baseline_kind = "estimated"
-        auc_gate = 0.93
-        # 1:11 true:fake imbalance — unweighted BCE collapses to the base
-        # rate exactly as the reference's mu200 run does
-        tcfg = TrainConfig(learning_rate=3e-3, pos_weight=8.0)
-
-        def make(seed, n):
-            return toy2d.make_knn_segment_graphs(
-                toy2d.Toy2DConfig(n_layers=20, n_tracks=22, seed=seed), n,
-                k=12)
-
-    mcfg = mpnn.SegmentClassifierConfig(
-        input_dim=2, hidden_dim=hidden, n_iters=n_iters,
-        compute_dtype=jnp.bfloat16, aggregation="dense")
-    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
-    import io, contextlib
-    with contextlib.redirect_stdout(io.StringIO()):
-        tr = Trainer(
-            lambda p, gr, m: mpnn.segment_classifier_logits(p, gr, mcfg, m),
-            params, tcfg)
-
-    def make_stack(seed0):
-        return stack_device([make(seed0 + s, batch) for s in range(n_steps)])
-
-    # Pre-train to past the AUC gate's knee (measured: this config crosses
-    # 0.93 at ~500 steps, 0.95+ by 1500), every step a distinct batch;
-    # first call also compiles the scan.
-    for r in range(n_pretrain):
-        losses = tr.run_steps(make_stack(r * n_steps))
-
-    # Timed region: n_steps DISTINCT batches per rep, one optimizer step
-    # each, in ONE device dispatch (lax.scan); loss readback syncs each
-    # call.  The stacked pytree is reused across reps (separate
-    # dispatches; within-scan batches stay distinct).
-    stacked = make_stack(n_pretrain * n_steps)
-    edges_per_scan = float(np.asarray(stacked.edge_mask).sum())
-    tr.run_steps(stacked)  # warm path for this buffer layout
-
-    n_reps = 4
-    t0 = time.perf_counter()
-    for rep in range(n_reps):
-        losses = tr.run_steps(stacked)
-    dt = time.perf_counter() - t0
-
-    graphs_per_s = n_reps * n_steps * batch / dt
-    edges_per_s = n_reps * edges_per_scan / dt
-    record = {
-        "metric": metric,
-        "value": round(edges_per_s, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(graphs_per_s / baseline_graphs_per_s, 2),
-        "baseline": baseline_kind,
-        "final_loss": round(float(losses[-1]), 4),
-    }
-
-    if not args.no_auc:
-        # AUC on held-out graphs after the (n_pretrain + 1 + n_reps) *
-        # n_steps training steps above — throughput with learning verified.
-        gv = make(990001, batch)
-        probs = np.asarray(tr._predict(
-            tr.params, jax.tree.map(jnp.asarray, gv))).ravel()
-        auc = metrics_lib.roc_auc(probs, np.asarray(gv.y).ravel(),
-                                  np.asarray(gv.edge_mask).ravel())
-        record["auc"] = round(float(auc), 4)
-        record["auc_gate"] = auc_gate
-        if auc < auc_gate:
-            raise SystemExit(
-                f"AUC {auc:.4f} below gate {auc_gate} — throughput without "
-                f"learning is not a benchmark: {json.dumps(record)}")
-
-    print(json.dumps(record))
+        order = [args.metric]
+    for name in order:
+        runners[name](args.no_auc)
 
 
 if __name__ == "__main__":

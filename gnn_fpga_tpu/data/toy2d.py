@@ -75,6 +75,18 @@ def generate_events(cfg: Toy2DConfig, n_events: int):
     return x, y, r, l.astype(np.int32)
 
 
+def layer_offsets(cfg: Toy2DConfig) -> np.ndarray:
+    """Node-id boundaries of each detector layer: nodes of layer ``l``
+    occupy ids ``[offsets[l], offsets[l+1])``.
+
+    Toy graphs are layer-major by construction (`generate_events` flattens
+    (layer, hit)), so the offsets are exact — this is the input
+    `ops/blocked.attach_blocks_layered` needs to exploit the
+    block-diagonal incidence structure.
+    """
+    return (np.arange(cfg.n_layers + 1) * cfg.n_tracks).astype(np.int64)
+
+
 def toy_edges(cfg: Toy2DConfig):
     """The shared COO edge list: every hit pair on adjacent layers.
 

@@ -25,9 +25,19 @@ the global node table with a one-hot broadcast matrix ``G`` (and its
 transpose for the reduce) — also matmuls, so the whole path stays on the
 MXU with no gather/scatter latency.
 
-Measured on the bench chip (see `benchmarks/probe_blocked.py` and the
-numbers recorded in `models/mpnn.py`), this runs the mu200-scale train
-step ~3x faster than the full dense incidence path.
+Measured on the bench chip (TPU v5e, bf16, full train step, 2026-08-20,
+`python -m benchmarks.probe_blocked`):
+
+    scale                      dense    blocked g=1/2/4       sparse
+    sector V=440  E=5016      3.70ms   3.28 / 2.92 / 2.64ms   40.4ms
+    fullevent V=3200 E=36480  (V*E too big)     8.54ms (g=4)  39.4ms
+
+ms/step, 16-graph (sector) / 2-graph (fullevent) batches, h=64, 6
+iterations.  At sector scale blocked g=4 is 1.4x dense and 15x sparse;
+group>4 loses again (bn grows past the MXU tile while the FLOP saving
+shrinks).  The win over dense grows with V (the one-hot's V*E product);
+past `models/mpnn.py::_DENSE_AUTO_LIMIT` dense is out and blocked is
+4.6x sparse.
 
 Plan construction is host-side numpy (`attach_blocks_layered`), fully
 vectorised over the batch; the plan is index arrays only, so it stacks /
