@@ -87,9 +87,13 @@ def main():
     t = timed(fwdbwd(xla_pair), (h, w), n_iters=args.iters)
     report("XLA pair fwd+bwd", t, 3 * useful)
 
-    # Pallas fused pair, tile/subtile sweep
-    for tile, sub in ((256, 8), (256, 16), (128, 8)):
-        pl_ = sp.build_agg_plans(s, r, v, tile_e=tile)
+    # Pallas fused pair, tile/subtile sweep; "bnd" = boundary-padded
+    # plans (per-layer tile padding -> ~8x narrower gather windows)
+    bnd = np.arange(0, v + 1, v // 8)
+    for tile, sub, use_bnd in ((256, 8, False), (256, 8, True),
+                               (256, 16, True), (128, 8, True)):
+        pl_ = sp.build_agg_plans(s, r, v, tile_e=tile,
+                                 boundaries=bnd if use_bnd else None)
 
         def pallas_pair(h, w, pl_=pl_, sub=sub):
             from gnn_fpga_tpu.ops.pallas import spmm as _sp
@@ -100,12 +104,33 @@ def main():
                 _sp.DEFAULT_SUBTILES = keep
             return mi + mo
 
+        tag = "bnd" if use_bnd else "   "
         t = timed(pallas_pair, (h, w), n_iters=args.iters)
-        report(f"pallas pair fwd  t={tile} sub={sub} W={pl_.recv.w_oth}",
-               t, useful)
+        report(f"pallas pair fwd  t={tile} sub={sub} {tag} "
+               f"W={pl_.recv.w_oth}", t, useful)
         if sub == 8:
             t = timed(fwdbwd(pallas_pair), (h, w), n_iters=args.iters)
-            report(f"pallas pair fwd+bwd t={tile} sub={sub}", t, 3 * useful)
+            report(f"pallas pair fwd+bwd t={tile} sub={sub} {tag}", t,
+                   3 * useful)
+
+    # gather_pair (fused edge-logit first layer) vs XLA take+take
+    pl_b = sp.build_agg_plans(s, r, v, tile_e=256, boundaries=bnd)
+    pa = jnp.asarray(rng.standard_normal((v, d)).astype(dt))
+    pb = jnp.asarray(rng.standard_normal((v, d)).astype(dt))
+
+    def xla_gather_pair(pa, pb):
+        return (jnp.take(pa, sj, axis=0) + jnp.take(pb, rj, axis=0))
+
+    gp_bytes = (2 * v * d + e * d) * dt.itemsize
+    t = timed(xla_gather_pair, (pa, pb), n_iters=args.iters)
+    report("XLA gather_pair fwd", t, gp_bytes)
+    t = timed(fwdbwd(xla_gather_pair), (pa, pb), n_iters=args.iters)
+    report("XLA gather_pair fwd+bwd", t, 3 * gp_bytes)
+    gp = lambda a, b: sp.gather_pair(a, b, sj, rj, pl_b)
+    t = timed(gp, (pa, pb), n_iters=args.iters)
+    report("pallas gather_pair fwd (XLA take) bnd", t, gp_bytes)
+    t = timed(fwdbwd(gp), (pa, pb), n_iters=args.iters)
+    report("pallas gather_pair fwd+bwd bnd", t, 3 * gp_bytes)
 
     # backward components (tile=256): dh transpose SpMM + fused dual SDDMM
     g = jnp.asarray(rng.standard_normal((v, d)).astype(dt))

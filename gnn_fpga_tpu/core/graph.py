@@ -201,20 +201,28 @@ def unbatch_graphs(g: Graph) -> list:
 
 
 def attach_plans(g: Graph, tile_e: int = 256,
-                 window: Optional[int] = None) -> Graph:
+                 window: Optional[int] = None,
+                 boundaries=None) -> Graph:
     """Attach Pallas aggregation plans (see ops/pallas/spmm.py) to a single
     packed graph, enabling ``aggregation="pallas"`` in the MPNN models.
 
     The edge count must be a multiple of ``tile_e`` (pad via
-    :func:`pad_graph` / ``pack_graphs(n_edge=...)``).  Plans are built
-    host-side once per topology and ride along the Graph pytree.
+    :func:`pad_graph` / ``pack_graphs(n_edge=...)``) unless
+    ``boundaries`` is given.  Plans are built host-side once per topology
+    and ride along the Graph pytree.
+
+    ``boundaries``: ascending node-id boundaries (detector layer
+    offsets) — pads the plan per layer so no kernel tile spans two
+    layers, shrinking the windowed-gather width ~8x on layered graphs
+    (the dominant kernel cost; see `build_edge_plan`).
     """
     from gnn_fpga_tpu.ops.pallas.spmm import build_agg_plans
 
     if np.asarray(g.x).ndim != 2:
         raise ValueError("plans only apply to single packed graphs")
     plans = build_agg_plans(np.asarray(g.senders), np.asarray(g.receivers),
-                            g.n_node, tile_e=tile_e, window=window)
+                            g.n_node, tile_e=tile_e, window=window,
+                            boundaries=boundaries)
     return g.replace(plans=plans)
 
 

@@ -116,7 +116,10 @@ def edge_network_logits_proj(
     This turns the E-sized ``[E, 2D] @ [2D, H]`` matmul into two V-sized
     ``[V, D] @ [D, H]`` matmuls plus [E, H] gathers — at E >> V scale the
     dominant [E, 2D] intermediate never exists.  Used by the large-graph
-    (pallas) path."""
+    (pallas) path; with ``graph.plans`` attached the gather pair (and its
+    VJP's two [E, H]-row segment-sums — the scatters that dominated the
+    large-graph train step in XLA) runs through the fused
+    `ops.pallas.spmm.gather_pair` kernel."""
     m1 = None if masks is None else masks["l1"]
     m2 = None if masks is None else masks["l2"]
     w1 = params["l1"]["w"] if m1 is None else params["l1"]["w"] * m1
@@ -124,8 +127,13 @@ def edge_network_logits_proj(
     pa = h @ w1[:d]
     pb = h @ w1[d:]
     em = graph.edge_mask.astype(h.dtype)[:, None]
-    pre = (jnp.take(pa, graph.senders, axis=0)
-           + jnp.take(pb, graph.receivers, axis=0)) * em
+    if graph.plans is not None:
+        from gnn_fpga_tpu.ops.pallas.spmm import gather_pair
+        pre = gather_pair(pa, pb, graph.senders, graph.receivers,
+                          graph.plans).astype(h.dtype) * em
+    else:
+        pre = (jnp.take(pa, graph.senders, axis=0)
+               + jnp.take(pb, graph.receivers, axis=0)) * em
     z = activation(pre + params["l1"]["b"])
     return _linear(params["l2"], z, m2)[..., 0]
 

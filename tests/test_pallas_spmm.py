@@ -272,3 +272,99 @@ def test_sddmm_dual_matches_oracle():
               + sp.sddmm_reference(u, w, s, r))
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_gather_pair_matches_oracle_with_grads():
+    """Fused edge-logit gather pair: XLA-take forward + ONE Pallas
+    scatter kernel VJP (the round-4 kernel suite)."""
+    rng = np.random.default_rng(21)
+    v, e, d = 200, 256, 16
+    s = rng.integers(0, v, size=e).astype(np.int32)
+    r = rng.integers(0, v, size=e).astype(np.int32)
+    pa = rng.normal(size=(v, d)).astype(np.float32)
+    pb = rng.normal(size=(v, d)).astype(np.float32)
+    plans = sp.build_agg_plans(s, r, v, tile_e=64)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def loss(pa, pb):
+        out = sp.gather_pair(pa, pb, sj, rj, plans)
+        return jnp.sum(out ** 2) + jnp.sum(out[::2])
+
+    def loss_ref(pa, pb):
+        out = sp.gather_pair_reference(pa, pb, sj, rj)
+        return jnp.sum(out ** 2) + jnp.sum(out[::2])
+
+    with pltpu.force_tpu_interpret_mode():
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(
+            jnp.asarray(pa), jnp.asarray(pb))
+    eval_, egrads = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        jnp.asarray(pa), jnp.asarray(pb))
+    np.testing.assert_allclose(float(val), float(eval_), rtol=1e-5)
+    for g, eg in zip(grads, egrads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(eg),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_boundary_padded_plans_match_oracle():
+    """Per-segment (layer) plan padding: no tile spans two layers, pad
+    slots carry zero weight, fwd/bwd parity holds and windows shrink."""
+    rng = np.random.default_rng(22)
+    nl, nt, k = 6, 64, 4
+    v = nl * nt
+    senders, receivers = [], []
+    for layer in range(nl - 1):
+        for t in range(nt):
+            for j in range(k):
+                senders.append(layer * nt + (t + j) % nt)
+                receivers.append((layer + 1) * nt + t)
+    s = np.array(senders, np.int32)
+    r = np.array(receivers, np.int32)
+    e = len(s)
+    offs = np.arange(nl + 1) * nt
+    plans = sp.build_agg_plans(s, r, v, tile_e=64, boundaries=offs)
+    # each layer-pair bucket (nt*k=256 edges) padded to a tile multiple
+    assert plans.recv.n_edge % 64 == 0 and plans.recv.n_edge >= e
+    assert plans.recv.w_oth == 128  # tight windows, not ~v
+    h = rng.normal(size=(v, 8)).astype(np.float32)
+    w = rng.normal(size=(e,)).astype(np.float32)
+
+    def loss(h, w):
+        mi, mo = sp.aggregate_pair(h, w, plans)
+        return jnp.sum(mi ** 2) + jnp.sum((mo * 1.3) ** 2)
+
+    def loss_ref(h, w):
+        mi, mo = sp.aggregate_pair_reference(h, w, s, r, v)
+        return jnp.sum(mi ** 2) + jnp.sum((mo * 1.3) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(
+            jnp.asarray(h), jnp.asarray(w))
+    evl, egrads = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        jnp.asarray(h), jnp.asarray(w))
+    np.testing.assert_allclose(float(val), float(evl), rtol=1e-4)
+    for g, eg in zip(grads, egrads):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(eg),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_boundary_plans_in_model_path():
+    """attach_plans(boundaries=...) end to end through the model fwd."""
+    from gnn_fpga_tpu.core import graph as graph_lib
+    from gnn_fpga_tpu.data import toy2d
+    from gnn_fpga_tpu.models import mpnn
+    cfg = toy2d.Toy2DConfig(n_layers=6, n_tracks=8, seed=5)
+    g = jax.tree.map(lambda a: a[0],
+                     toy2d.make_knn_segment_graphs(cfg, 1, k=4))
+    g = graph_lib.pad_graph(g, g.n_node + 8, g.n_edge + 32)
+    bounds = np.append(toy2d.layer_offsets(cfg), g.n_node)
+    gp = graph_lib.attach_plans(g, tile_e=32, boundaries=bounds)
+    mcfg = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=8,
+                                        n_iters=2, aggregation="sparse")
+    import dataclasses
+    pcfg = dataclasses.replace(mcfg, aggregation="pallas")
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
+    ls = mpnn.segment_classifier_logits(params, g, mcfg)
+    with pltpu.force_tpu_interpret_mode():
+        lp = mpnn.segment_classifier_logits(params, gp, pcfg)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                               rtol=1e-4, atol=1e-5)
