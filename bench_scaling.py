@@ -96,6 +96,14 @@ def run_mode(mode: str, device_counts, n_steps: int, hidden: int,
 
 
 def main():
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var; honour it
+    # explicitly so `JAX_PLATFORMS=cpu` + a virtual device count actually
+    # lands on the 8-device CPU mesh (tests/conftest.py does the same).
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["dp", "partitioned", "both"],
                     default="both")

@@ -182,6 +182,78 @@ def make_knn_segment_graphs(cfg: Toy2DConfig, n_events: int,
     )
 
 
+def make_window_segment_graphs(cfg: Toy2DConfig, n_events: int,
+                               window: Optional[float] = None) -> Graph:
+    """Segment graphs with **two-coordinate geometric window cuts** — the
+    reference's own full-event construction style
+    (`/root/reference/gnn/MPNN_Seg_ACTS_fullEvents.ipynb:cell8`: a dense
+    adjacency *mask* from ``dphi_max`` AND ``dz_max`` cuts, not pandas
+    joins; same spirit as the `prepareGraphs.py:37-40` phi-slope/z0 cuts).
+
+    Tracks here are straight lines in TWO transverse coordinates (x, z),
+    both linear in the layer radius — the toy analog of the detector's
+    (phi, z).  Node features are ``[x, z, r/r_max]`` (three features, like
+    the reference's ``[r, phi, z]``, `prepareGraphs.py:149`).
+
+    Static-shape realisation: the edge list is the all-pairs
+    :func:`toy_edges` topology and the cut lives in ``edge_mask`` —
+    exactly the reference's dense-mask trick.  An edge (hit on layer
+    ``l`` → hit on layer ``l+1``) survives iff ``|dx| < window`` AND
+    ``|dz| < window``.  Toy tracks have ``|slope| < 1/(r_last - r_0)``
+    per coordinate, so the default ``window = dr_adjacent / (r_last -
+    r_0)`` keeps **100% of true segments** (the reference's cuts keep
+    ~90-97%, `GraphConstructionDev.ipynb:cell42`) while the AND of two
+    windows cuts almost every fake: a fake needs two tracks nearby in
+    BOTH coordinates at once.  This is exactly why the reference reaches
+    0.995 accuracy on its windowed full-event graphs
+    (`MPNN_Seg_ACTS_fullEvents.ipynb:cell45`) but only 0.812 / recall
+    0.042 on raw mu200 (`MPNN_Seg_ACTS_mu200.ipynb:cell26`) — and why a
+    single-coordinate toy cannot get there: in 1-D, track *crossings*
+    make the swap-fake geometrically identical to the true segment
+    (that regime is :func:`make_knn_segment_graphs`, every fake a
+    near-neighbour).  The executable evidence lives in
+    `tests/test_reference_scale.py::test_full_event_window_metrics`.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    det_r = cfg.radii()
+    nl, nt = cfg.n_layers, cfg.n_tracks
+    # two independent straight-line coordinates per track (ev, track, layer)
+    tx = np.stack([gen_tracks(rng, n_events, det_r) for _ in range(nt)],
+                  axis=1)
+    tz = np.stack([gen_tracks(rng, n_events, det_r) for _ in range(nt)],
+                  axis=1)
+    # sort hits within each layer by x; z rides along, argsort idx = track
+    idx = np.argsort(tx, axis=1)
+    i0 = np.arange(n_events)[:, None, None]
+    i2 = np.arange(nl)[None, None, :]
+    x = tx[i0, idx, i2].transpose(0, 2, 1).reshape(n_events, -1)
+    z = tz[i0, idx, i2].transpose(0, 2, 1).reshape(n_events, -1)
+    y = idx.transpose(0, 2, 1).reshape(n_events, -1)
+    r = np.broadcast_to(np.repeat(det_r, nt)[None, :], x.shape)
+
+    senders, receivers = toy_edges(cfg)
+    if window is None:
+        dr_adj = float(np.diff(det_r).max()) if nl > 1 else 1.0
+        window = dr_adj / max(float(det_r[-1] - det_r[0]), 1e-9)
+    n_edge = len(senders)
+    feats = np.stack([x, z, r / max(r.max(), 1e-9)], axis=-1
+                     ).astype(np.float32)
+    dx = np.abs(x[:, receivers] - x[:, senders])
+    dz = np.abs(z[:, receivers] - z[:, senders])
+    edge_mask = ((dx < window) & (dz < window)).astype(np.float32)
+    ey = ((y[:, senders] == y[:, receivers]) & (edge_mask > 0)
+          ).astype(np.float32)
+    n_node = nl * nt
+    return Graph(
+        x=feats,
+        senders=np.broadcast_to(senders[None], (n_events, n_edge)).copy(),
+        receivers=np.broadcast_to(receivers[None], (n_events, n_edge)).copy(),
+        y=ey,
+        node_mask=np.ones((n_events, n_node), np.float32),
+        edge_mask=edge_mask,
+    )
+
+
 def make_gcn_data(cfg: Toy2DConfig, n_events: int, seed_layers: int = 3,
                   norm: str = "row"):
     """Dense-adjacency GCN task data (`GCN_Toy2D.ipynb:cell4,11`).

@@ -119,18 +119,36 @@ class EdgePlan:
     rank_off: jax.Array
     oth_win_off: jax.Array
     seg_win_off: jax.Array
+    # Optional PREBUILT one-hot operands (uint8 or bf16, [E, W*]): the
+    # one-hots are pure functions of the static topology, so building
+    # them once host-side turns the kernels' dominant cost (the VPU
+    # iota-compare builds, ~98% of kernel time — see module header) into
+    # streamed DMA that Pallas double-buffers behind the MXU work.
+    # This is the blocked-ELL storage of the incidence matrix.
+    oh_oth: Optional[jax.Array] = None     # [E, w_oth]
+    oh_seg: Optional[jax.Array] = None     # [E, w_seg]
+    oh_rank: Optional[jax.Array] = None    # [E, w_rank]
     n_node: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_edge: int = dataclasses.field(metadata=dict(static=True), default=0)
     tile_e: int = dataclasses.field(metadata=dict(static=True),
                                     default=DEFAULT_TILE_E)
     w_oth: int = dataclasses.field(metadata=dict(static=True), default=128)
     w_seg: int = dataclasses.field(metadata=dict(static=True), default=128)
+    # rank one-hot width: max per-tile compact-rank span (<= tile_e);
+    # kNN/layered graphs have ~10-30 distinct segments per 256-edge tile,
+    # so the scatter one-hot narrows from [T, T] to [T, 128]
+    w_rank: int = dataclasses.field(metadata=dict(static=True),
+                                    default=DEFAULT_TILE_E)
     table_rows: int = dataclasses.field(metadata=dict(static=True),
                                         default=128)
 
     @property
     def n_tiles(self) -> int:
         return self.n_edge // self.tile_e
+
+    @property
+    def prebuilt(self) -> bool:
+        return self.oh_oth is not None
 
 
 class AggPlans(NamedTuple):
@@ -165,11 +183,20 @@ def _window_offsets(ids_t: np.ndarray, window: Optional[int],
     return off, w, table_rows
 
 
+def _prebuild_oh(ids: np.ndarray, off: np.ndarray, width: int,
+                 tile_e: int, dtype) -> np.ndarray:
+    """[E, width] one-hot of (ids - per-tile offset), built host-side."""
+    loc = ids - np.repeat(off, tile_e)
+    return (loc[:, None] == np.arange(width, dtype=loc.dtype)[None, :]
+            ).astype(dtype)
+
+
 def build_edge_plan(seg_ids, oth_ids, n_node: int,
                     tile_e: int = DEFAULT_TILE_E,
                     window: Optional[int] = None,
                     window_seg: Optional[int] = None,
-                    boundaries=None) -> EdgePlan:
+                    boundaries=None,
+                    precompute: Optional[str] = None) -> EdgePlan:
     """Host-side (numpy) plan construction for one aggregation direction.
 
     ``seg_ids``/``oth_ids``: [E] int arrays (E a multiple of ``tile_e``
@@ -188,6 +215,15 @@ def build_edge_plan(seg_ids, oth_ids, n_node: int,
     ``order == len(seg_ids)`` so ``jnp.take(w, order, fill_value=0)``
     zeroes their weight; real-edge outputs are recovered via
     ``inv_order`` (length = real edge count).
+
+    ``precompute``: ``"int8"`` or ``"bf16"`` — additionally store the
+    three per-edge one-hot operands (gather-by-oth, gather-by-seg,
+    rank-scatter) as dense [E, W] arrays so the kernels stream them from
+    HBM instead of rebuilding them on the VPU every launch (the builds
+    are ~98% of kernel time).  Costs ``E*(w_oth + w_seg + w_rank)``
+    bytes (int8) of plan memory — e.g. ~70 MB at the fullevent config
+    (E=182k, 128/128/128).  ``"int8"`` halves the DMA and casts in the
+    kernel; ``"bf16"`` feeds the MXU directly.
     """
     seg_ids = np.asarray(seg_ids, np.int32)
     oth_ids = np.asarray(oth_ids, np.int32)
@@ -241,28 +277,44 @@ def build_edge_plan(seg_ids, oth_ids, n_node: int,
         so.reshape(n_tiles, tile_e), window, n_node)
     seg_off, w_seg, tr2 = _window_offsets(
         ss.reshape(n_tiles, tile_e), window_seg, n_node)
+    rank_span = int((ranks.reshape(n_tiles, tile_e)
+                     - rank_off[:, None]).max()) + 1
+    w_rank = min(_round_up(rank_span, 128), tile_e)
+    oh_oth = oh_seg = oh_rank = None
+    if precompute is not None:
+        import ml_dtypes
+        dt = {"int8": np.int8, "bf16": ml_dtypes.bfloat16}[precompute]
+        oh_oth = _prebuild_oh(so, oth_off, w_oth, tile_e, dt)
+        oh_seg = _prebuild_oh(ss, seg_off, w_seg, tile_e, dt)
+        oh_rank = _prebuild_oh(ranks, rank_off, w_rank, tile_e, dt)
     return EdgePlan(
         order=order, inv_order=inv_order, sorted_seg=ss, sorted_oth=so,
         ranks=ranks, node_of_rank=node_of_rank, rank_off=rank_off,
         oth_win_off=oth_off, seg_win_off=seg_off,
+        oh_oth=oh_oth, oh_seg=oh_seg, oh_rank=oh_rank,
         n_node=n_node, n_edge=e_pad, tile_e=tile_e,
-        w_oth=w_oth, w_seg=w_seg, table_rows=max(tr1, tr2),
+        w_oth=w_oth, w_seg=w_seg, w_rank=w_rank, table_rows=max(tr1, tr2),
     )
 
 
 def build_agg_plans(senders, receivers, n_node: int,
                     tile_e: int = DEFAULT_TILE_E,
                     window: Optional[int] = None,
-                    boundaries=None) -> AggPlans:
+                    window_seg: Optional[int] = None,
+                    boundaries=None,
+                    precompute: Optional[str] = None) -> AggPlans:
     """Both aggregation directions for a graph topology (host-side).
 
     The fused pair kernels (:func:`aggregate_pair`, :func:`gather_pair`)
     only consume ``recv``; ``send`` backs the single-direction
-    :func:`spmm` API.  ``boundaries``: see :func:`build_edge_plan`."""
+    :func:`spmm` API.  ``boundaries``/``precompute``: see
+    :func:`build_edge_plan` (one-hots are only prebuilt on ``recv`` —
+    the plan the fused kernels run on)."""
     recv = build_edge_plan(receivers, senders, n_node, tile_e, window,
-                           boundaries=boundaries)
+                           window_seg=window_seg, boundaries=boundaries,
+                           precompute=precompute)
     send = build_edge_plan(senders, receivers, n_node, tile_e, window,
-                           boundaries=boundaries)
+                           window_seg=window_seg, boundaries=boundaries)
     return AggPlans(recv=recv, send=send)
 
 

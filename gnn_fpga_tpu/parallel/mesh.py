@@ -60,9 +60,15 @@ def shard_batch_pytree(tree, mesh: Mesh, axis: str = DATA_AXIS):
 
 
 def shard_map(f, mesh, in_specs, out_specs):
-    """Version-portable shard_map (jax.shard_map when available)."""
+    """Version-portable shard_map (jax.shard_map when available).
+
+    ``check_vma=False``: the varying-across-mesh static check rejects
+    pallas_call outputs (their ShapeDtypeStructs carry no vma), and the
+    sharded forward runs Pallas kernels per shard
+    (`parallel/partition.py` plans path)."""
     if hasattr(jax, "shard_map"):
         return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+                             out_specs=out_specs, check_vma=False)
     from jax.experimental.shard_map import shard_map as _sm
-    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)

@@ -72,6 +72,13 @@ class PartitionedGraph:
     senders_ext: Optional[jax.Array] = None
     send_idx: Optional[jax.Array] = None
     node_y: Optional[jax.Array] = None  # [P, N_local] hit-classifier labels
+    # Optional per-shard Pallas AggPlans over the local+halo EXTENDED
+    # table (ops/pallas/spmm.py), stacked on the P axis; built by
+    # ``partition_graph(plans=True)``.  Routes the shard-local mi /
+    # mo-partial aggregations through the fused kernels (SURVEY §7
+    # step 7: the mu200 full-event regime needs partitioning AND the
+    # kernels together).
+    plans: Optional[object] = None
 
     @property
     def n_parts(self) -> int:
@@ -91,7 +98,8 @@ class PartitionedGraph:
         return self.send_idx.shape[-1] // self.n_parts
 
 
-def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
+def partition_graph(g: Graph, n_parts: int, plans: bool = False,
+                    tile_e: int = 64) -> PartitionedGraph:
     """Split one (unbatched, possibly padded) graph into receiver-owned
     shards (host-side numpy; one-time preprocessing per graph).
 
@@ -99,6 +107,14 @@ def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
     shard's edges are those whose receiver falls in its node range, padded
     to the max shard edge count; pad edges point at the shard's last local
     node and are masked.
+
+    ``plans=True`` additionally builds per-shard Pallas
+    :class:`~gnn_fpga_tpu.ops.pallas.spmm.AggPlans` over each shard's
+    local+halo extended table (topology is static per partition), so the
+    sharded forward aggregates with the fused kernels instead of XLA
+    segment-sums.  Shard edge counts are then padded to ``tile_e``
+    multiples and windows unified across shards (plans stack on the P
+    axis like every other leaf).
     """
     x = np.asarray(g.x)
     senders = np.asarray(g.senders)
@@ -125,6 +141,8 @@ def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
         parts.append((senders[sel], receivers[sel] - p * n_local, y[sel]))
         max_e = max(max_e, int(sel.sum()))
     max_e = max(max_e, 1)
+    if plans:
+        max_e = -(-max_e // tile_e) * tile_e  # kernel tile multiples
 
     def pad_part(p, s, r, yy):
         e = len(s)
@@ -183,6 +201,28 @@ def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
             node_y = np.pad(node_y, (0, n_pad - n))
         node_y = np.stack(np.split(node_y, n_parts)).astype(np.float32)
 
+    stacked_plans = None
+    if plans:
+        from gnn_fpga_tpu.ops.pallas.spmm import build_agg_plans
+
+        n_ext = n_local + n_parts * s_pair
+        # pass 1: auto-size each shard's windows; pass 2 rebuilds with
+        # the max so the per-shard plans share one static shape and
+        # stack on the P axis like every other PartitionedGraph leaf
+        per_shard = [
+            build_agg_plans(senders_ext[p], padded[p][1], n_ext,
+                            tile_e=tile_e)
+            for p in range(n_parts)
+        ]
+        w = max(max(pl_.recv.w_oth, pl_.recv.w_seg, pl_.send.w_oth,
+                    pl_.send.w_seg) for pl_ in per_shard)
+        per_shard = [
+            build_agg_plans(senders_ext[p], padded[p][1], n_ext,
+                            tile_e=tile_e, window=w, window_seg=w)
+            for p in range(n_parts)
+        ]
+        stacked_plans = jax.tree.map(lambda *a: np.stack(a), *per_shard)
+
     return PartitionedGraph(
         x=np.stack(np.split(x, n_parts)).astype(np.float32),
         senders=np.stack([p[0] for p in padded]).astype(np.int32),
@@ -193,6 +233,7 @@ def partition_graph(g: Graph, n_parts: int) -> PartitionedGraph:
         senders_ext=np.stack(senders_ext).astype(np.int32),
         send_idx=np.stack(send_idx).astype(np.int32),
         node_y=node_y,
+        plans=stacked_plans,
     )
 
 
@@ -293,28 +334,53 @@ def sharded_mpnn_logits(
 
     em = shard.edge_mask.astype(x_local.dtype)[:, None]
 
-    def edge_logits(edge_p, h_ext):
-        b = jnp.concatenate([h_ext[senders], h_ext[recv_idx()]],
-                            axis=-1) * em
+    def edge_logits(edge_p, h_local, h_ext):
+        """First edge-MLP layer split by endpoint (SURVEY §5: overlap the
+        halo all_to_all with local work).  ``concat([bs, br]) @ W ==
+        bs @ W[:D] + br @ W[D:]``, and in halo mode the receiver half
+        gathers from ``h_local`` only — no data dependency on the
+        exchange, so XLA's latency-hiding scheduler runs the E x D x H
+        receiver matmul (and the gather feeding it) while the halo rows
+        are in flight on ICI.  Only the sender half waits."""
         m1 = None if masks_e is None else masks_e["l1"]
         m2 = None if masks_e is None else masks_e["l2"]
-        z = act(_linear(edge_p["l1"], b, m1))
+        w1 = edge_p["l1"]["w"] if m1 is None else edge_p["l1"]["w"] * m1
+        d = h_ext.shape[-1]
+        bs = h_ext[senders] * em
+        br = (h_local[shard.receivers] if halo else h_ext[recv_idx()]) * em
+        z = act(bs @ w1[:d] + br @ w1[d:] + edge_p["l1"]["b"])
         return _linear(edge_p["l2"], z, m2)[..., 0]
+
+    use_plans = halo and shard.plans is not None
 
     def body(h_local, per_iter):
         edge_p, node_p = per_iter
         h_ext = extend(h_local)
-        e = jax.nn.sigmoid(edge_logits(edge_p, h_ext))
-        # --- node network aggregation (`model.py:113-119`)
-        bo = h_ext[senders] * em
-        bi = h_ext[recv_idx()] * em
-        # mi: receiver-owned -> purely local
-        mi = jax.ops.segment_sum(bo * e[:, None], shard.receivers,
-                                 num_segments=n_local)
-        # mo: partials over extended sender slots -> return to owners
-        mo_partial = jax.ops.segment_sum(bi * e[:, None], senders,
-                                         num_segments=n_ext)
-        mo = reduce_ext(mo_partial)
+        e = jax.nn.sigmoid(edge_logits(edge_p, h_local, h_ext))
+        if use_plans:
+            # fused Pallas aggregation over the extended table: seg=recv
+            # gives mi on owned rows directly (receivers < n_local) and
+            # mo partials over extended sender slots in one launch
+            # (SURVEY §7 step 7: kernels x partitioning composed)
+            from gnn_fpga_tpu.ops.pallas.spmm import aggregate_pair
+            mi_ext, mo_partial = aggregate_pair(
+                h_ext, e * shard.edge_mask.astype(h_ext.dtype),
+                shard.plans)
+            mi = mi_ext[:n_local]
+            mo = reduce_ext(mo_partial)
+        else:
+            # --- node network aggregation (`model.py:113-119`);
+            # receiver gather stays on the local table (overlappable)
+            bo = h_ext[senders] * em
+            bi = (h_local[shard.receivers] if halo
+                  else h_ext[recv_idx()]) * em
+            # mi: receiver-owned -> purely local
+            mi = jax.ops.segment_sum(bo * e[:, None], shard.receivers,
+                                     num_segments=n_local)
+            # mo: partials over extended sender slots -> return to owners
+            mo_partial = jax.ops.segment_sum(bi * e[:, None], senders,
+                                             num_segments=n_ext)
+            mo = reduce_ext(mo_partial)
         # --- node MLP (`model.py:94-98,120-125`) on local rows
         m = jnp.concatenate([mi, mo, h_local], axis=-1)
         mn1 = None if masks_n is None else masks_n["l1"]
@@ -340,7 +406,7 @@ def sharded_mpnn_logits(
         # per-node sigmoid head on owned rows (`MPNN_HitClassifier.ipynb`)
         return _linear(params["output"], h_local)[..., 0].astype(jnp.float32)
     out_p = params["output"] if unshared else params["edge"]
-    return edge_logits(out_p, extend(h_local)).astype(jnp.float32)
+    return edge_logits(out_p, h_local, extend(h_local)).astype(jnp.float32)
 
 
 def sharded_segment_classifier_logits(

@@ -56,13 +56,28 @@ class TrainConfig:
     # collapses to the base rate exactly as the reference's does
     # (`MPNN_Seg_ACTS_mu200.ipynb:cell26`: recall 0.042); pos_weight ~
     # n_neg/n_pos restores the gradient signal.
+    # Learning-rate schedule (the reference trains constant-lr Adam,
+    # `estimator.py:33-36`; cosine decay is the TPU-era default and what
+    # the reference-scale convergence gates use to reach the plateau in
+    # bounded epochs): "constant" | "cosine".
+    lr_schedule: str = "constant"
+    decay_steps: int = 0               # cosine: steps to decay over
+    lr_min_fraction: float = 0.01      # cosine: final lr / initial lr
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    lr = cfg.learning_rate
+    if cfg.lr_schedule == "cosine":
+        if cfg.decay_steps <= 0:
+            raise ValueError("lr_schedule='cosine' needs decay_steps > 0")
+        lr = optax.cosine_decay_schedule(cfg.learning_rate, cfg.decay_steps,
+                                         alpha=cfg.lr_min_fraction)
+    elif cfg.lr_schedule != "constant":
+        raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
     if cfg.optimizer == "adam":
-        return optax.adam(cfg.learning_rate, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
+        return optax.adam(lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps)
     if cfg.optimizer == "sgd":
-        return optax.sgd(cfg.learning_rate)
+        return optax.sgd(lr)
     raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
 
