@@ -40,8 +40,22 @@ def _timed_steps(step, params, opt_state, batch, n_steps, n_warmup=3):
     return time.perf_counter() - t0
 
 
+def _fullevent_graph(n_sectors=36, n_layers=20, n_tracks=22, k=12):
+    """One packed V~16k/E~217k kNN graph — the mu200 full-event regime
+    (bench.py fullevent metric), for partitioned strong scaling."""
+    import jax
+    from gnn_fpga_tpu.core import graph as graph_lib
+    from gnn_fpga_tpu.data import toy2d
+
+    gs = toy2d.make_knn_segment_graphs(
+        toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks, seed=0),
+        n_sectors, k=k)
+    return graph_lib.pack_graphs(graph_lib.unbatch_graphs(gs))
+
+
 def run_mode(mode: str, device_counts, n_steps: int, hidden: int,
-             n_iters: int, n_tracks: int, batch: int):
+             n_iters: int, n_tracks: int, batch: int,
+             scale: str = "sector"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,9 +92,13 @@ def run_mode(mode: str, device_counts, n_steps: int, hidden: int,
                 lambda a: jnp.asarray(a) if a is not None else None, g)
         else:
             # strong scaling: one large graph split over devices
-            g = jax.tree.map(lambda a: a[0], toy2d.make_segment_graphs(
-                toy2d.Toy2DConfig(n_layers=10, n_tracks=n_tracks * batch,
-                                  seed=0), 1))
+            if scale == "fullevent":
+                g = _fullevent_graph()
+            else:
+                g = jax.tree.map(lambda a: a[0], toy2d.make_segment_graphs(
+                    toy2d.Toy2DConfig(n_layers=10,
+                                      n_tracks=n_tracks * batch,
+                                      seed=0), 1))
             n_edges = int(np.asarray(g.edge_mask).sum())
             mesh = mesh_lib.make_mesh((n_dev,), (mesh_lib.GRAPH_AXIS,),
                                       devices=devices)
@@ -113,6 +131,11 @@ def main():
     ap.add_argument("--n-tracks", type=int, default=16)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--device-counts", type=int, nargs="*")
+    ap.add_argument("--scale", choices=["sector", "fullevent"],
+                    default="sector",
+                    help="partitioned-mode graph size: 'fullevent' = one "
+                    "packed V~16k/E~217k kNN graph (bench.py fullevent "
+                    "regime)")
     args = ap.parse_args()
 
     import jax
@@ -122,11 +145,13 @@ def main():
     modes = ["dp", "partitioned"] if args.mode == "both" else [args.mode]
     for mode in modes:
         res = run_mode(mode, counts, args.steps, args.hidden, args.n_iters,
-                       args.n_tracks, args.batch)
+                       args.n_tracks, args.batch, scale=args.scale)
         base = res[counts[0]]["edges_per_s_per_chip"]
         eff = res[counts[-1]]["edges_per_s_per_chip"] / base
+        suffix = "_fullevent" if (args.scale == "fullevent"
+                                  and mode == "partitioned") else ""
         record = {
-            "metric": f"scaling_efficiency_{mode}",
+            "metric": f"scaling_efficiency_{mode}{suffix}",
             "value": round(eff, 3),
             "unit": "fraction",
             "devices": counts,

@@ -88,12 +88,19 @@ def main():
     report("XLA pair fwd+bwd", t, 3 * useful)
 
     # Pallas fused pair, tile/subtile sweep; "bnd" = boundary-padded
-    # plans (per-layer tile padding -> ~8x narrower gather windows)
+    # plans (per-layer tile padding -> ~8x narrower gather windows);
+    # "pre:x" = prebuilt one-hot operands (blocked-ELL, int8/bf16
+    # streamed from HBM instead of VPU iota-compare builds)
     bnd = np.arange(0, v + 1, v // 8)
-    for tile, sub, use_bnd in ((256, 8, False), (256, 8, True),
-                               (256, 16, True), (128, 8, True)):
+    for tile, sub, use_bnd, pre in (
+            (256, 8, False, None), (256, 8, True, None),
+            (256, 16, True, None), (128, 8, True, None),
+            (256, 8, True, "int8"), (256, 16, True, "int8"),
+            (256, 8, True, "bf16"), (256, 16, True, "bf16"),
+            (512, 16, True, "bf16")):
         pl_ = sp.build_agg_plans(s, r, v, tile_e=tile,
-                                 boundaries=bnd if use_bnd else None)
+                                 boundaries=bnd if use_bnd else None,
+                                 precompute=pre)
 
         def pallas_pair(h, w, pl_=pl_, sub=sub):
             from gnn_fpga_tpu.ops.pallas import spmm as _sp
@@ -104,11 +111,11 @@ def main():
                 _sp.DEFAULT_SUBTILES = keep
             return mi + mo
 
-        tag = "bnd" if use_bnd else "   "
+        tag = ("bnd" if use_bnd else "   ") + (f" pre:{pre}" if pre else "")
         t = timed(pallas_pair, (h, w), n_iters=args.iters)
         report(f"pallas pair fwd  t={tile} sub={sub} {tag} "
                f"W={pl_.recv.w_oth}", t, useful)
-        if sub == 8:
+        if sub == 8 or pre:
             t = timed(fwdbwd(pallas_pair), (h, w), n_iters=args.iters)
             report(f"pallas pair fwd+bwd t={tile} sub={sub} {tag}", t,
                    3 * useful)

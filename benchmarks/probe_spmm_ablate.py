@@ -53,7 +53,10 @@ def main():
     W = plan.w_oth
     h_pad = np.pad(h, ((0, plan.table_rows - V), (0, 0)))
     w_sorted = w[plan.order]
-    args_full = (plan.rank_off, plan.oth_win_off, plan.ranks[:, None],
+    # seg-window machinery (the compact-rank scatter was removed from
+    # EdgePlan: scatters now ride the seg-window one-hot)
+    args_full = (plan.seg_win_off, plan.oth_win_off,
+                 plan.sorted_seg[:, None],
                  plan.sorted_oth[:, None], w_sorted[:, None].astype(np.float32),
                  h_pad)
 

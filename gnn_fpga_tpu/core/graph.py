@@ -202,7 +202,8 @@ def unbatch_graphs(g: Graph) -> list:
 
 def attach_plans(g: Graph, tile_e: int = 256,
                  window: Optional[int] = None,
-                 boundaries=None) -> Graph:
+                 boundaries=None,
+                 precompute: Optional[str] = None) -> Graph:
     """Attach Pallas aggregation plans (see ops/pallas/spmm.py) to a single
     packed graph, enabling ``aggregation="pallas"`` in the MPNN models.
 
@@ -215,6 +216,11 @@ def attach_plans(g: Graph, tile_e: int = 256,
     offsets) — pads the plan per layer so no kernel tile spans two
     layers, shrinking the windowed-gather width ~8x on layered graphs
     (the dominant kernel cost; see `build_edge_plan`).
+
+    ``precompute``: ``"int8"``/``"bf16"`` — store the kernel one-hot
+    operands dense in the plan (blocked-ELL) so launches stream them
+    from HBM instead of rebuilding on the VPU (see `build_edge_plan`;
+    costs ~E*(w_oth+w_seg+w_rank) bytes of plan memory at int8).
     """
     from gnn_fpga_tpu.ops.pallas.spmm import build_agg_plans
 
@@ -222,7 +228,7 @@ def attach_plans(g: Graph, tile_e: int = 256,
         raise ValueError("plans only apply to single packed graphs")
     plans = build_agg_plans(np.asarray(g.senders), np.asarray(g.receivers),
                             g.n_node, tile_e=tile_e, window=window,
-                            boundaries=boundaries)
+                            boundaries=boundaries, precompute=precompute)
     return g.replace(plans=plans)
 
 

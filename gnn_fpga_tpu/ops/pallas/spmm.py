@@ -20,38 +20,42 @@ Design (everything stays on the MXU, all intermediates stay in VMEM):
   so sorted edge tiles reference a narrow node range.  Worst case
   (random labels) ``W`` grows to the whole table and the kernel degrades
   gracefully to the dense-incidence form.
-- **Rank-compacted one-hot scatter** (same trick as
-  `ops/pallas/segment_sum.py`): within a tile of ``T`` sorted edges the
-  compact segment-rank range is <= ``T``, so aggregation is one
-  ``one_hot[T, T]^T @ msgs[T, D]`` matmul accumulated into a
-  VMEM-resident compact output, scattered to node rows once at the end.
+- **Window one-hot scatter**: the same per-tile one-hots drive the
+  scatters — ``out[win : win+W] += one_hot[T, W]^T @ msgs[T, D]``
+  accumulated directly into full VMEM-resident node tables (the TPU grid
+  executes sequentially, so overlapping windows are safe).  No
+  compact-rank intermediate, no XLA scatter-add fixup after the kernel.
+- **Prebuilt one-hots** (``precompute="int8"``/``"bf16"``): the one-hots
+  are pure functions of the static topology, so plans can carry them as
+  dense blocked-ELL arrays that the kernel streams from HBM
+  (double-buffered behind the MXU) instead of rebuilding on the VPU.
 - The fusion means the per-edge message tensor ``[E, D]`` NEVER
   round-trips HBM: per aggregation the only HBM traffic is the edge ids
-  and weights (~12 B/edge), the node table (once), and the output.
+  and weights (~12 B/edge; + the prebuilt one-hots when enabled), the
+  node table (once), and the output.
 
-The backward pass needs the transpose aggregation (same kernel with the
-sender-sorted plan) and an SDDMM ``dw[e] = <g[recv[e]], h[send[e]]>`` —
-a second kernel using the same windowed gathers plus a row-wise dot.
+The fused backward is ONE kernel too: both dh scatters accumulate into a
+single node table and dw (the dual SDDMM) reuses the same gathered rows.
 :func:`aggregate_pair` packages both directions with a custom VJP.
 
 Measured on the bench chip (TPU v5e, bf16, layered-locality graphs,
-dispatch-amortised over 300 dependent iterations — benchmarks/
-probe_spmm.py / the probe_bwd harness, 2026-08-19, tile=256 sub=8):
+dispatch-amortised over 200 dependent iterations — benchmarks/
+probe_spmm.py, 2026-08-20, tile=256 sub=8; "pre" = prebuilt int8):
 
-    V      E       D    op             XLA        pallas     speedup
-    4096   32768   64   pair fwd        812 us     259 us     3.1x
-    4096   32768   64   pair fwd+bwd   1283 us     731 us     1.75x
-    16384  131072  128  pair fwd       3079 us     827 us     3.7x
-    16384  131072  128  pair fwd+bwd   4844 us    2858 us     1.7x
+    V      E       D    op             XLA        pallas     pre     best x
+    4096   32768   64   pair fwd        844 us     204 us    241 us   4.1x
+    4096   32768   64   pair fwd+bwd   1324 us     563 us    598 us   2.35x
+    16384  131072  128  pair fwd       3066 us     520 us    483 us   6.4x
+    16384  131072  128  pair fwd+bwd   4875 us    1972 us   1835 us   2.66x
 
-The backward runs dh as two transpose-plan SpMMs and dw as ONE fused
-dual SDDMM (both dot products in the recv plan's order — measured 396 us
-vs 412 us for a *single* SDDMM at the 4k config; the fusion is nearly
-free).  Kernel time is dominated by the one-hot *builds* (VPU iota
-compares), not the matmuls: ablation (probe_spmm_ablate) shows
-"one-hot builds only" at 325 us vs the full kernel's 332 us at the 16k
-config — per-edge cost scales with (W + T), the gather window plus the
-edge tile.
+(At 4k the whole working set is small enough that the in-kernel iota
+builds beat streaming prebuilt operands; at 16k prebuilt wins — callers
+pick via ``attach_plans(precompute=...)``.)  History: the round-3 design
+scattered through a compact-rank one-hot + XLA ``at[].add`` expansion
+and rebuilt one-hots every launch; it measured 3.7x/1.7x at the 16k
+config.  Replacing the rank scatter with the seg-window one-hot (already
+needed for the gather side) removed one build of three and all scatter
+fixup launches — that rewrite, not prebuilding, was the bigger lever.
 
 Crossover vs the dense-incidence path: at phi-sector scale (V=440,
 E=5016) the one-hot bmm on the MXU runs the full train step 6-8x faster
@@ -100,45 +104,40 @@ class EdgePlan:
       inv_order:    [E] edge index -> sorted position
       sorted_seg:   [E] seg ids in sorted order
       sorted_oth:   [E] oth ids in sorted order
-      ranks:        [E] compact rank of each sorted edge's seg id
-      node_of_rank: [R] node id owning each rank (pad rows -> n_node)
-      rank_off:     [n_tiles] first rank per edge tile
       oth_win_off:  [n_tiles] node-table window start for the gather side
       seg_win_off:  [n_tiles] node-table window start for the seg side
 
     Static fields (hashable; participate in jit cache keys):
       n_node, n_edge, tile_e, w_oth, w_seg, table_rows
+
+    Scatters to the seg side reuse the seg-window one-hot ``oh_s`` that
+    the gather side already needs: ``out[vs : vs+Ws] += oh_s^T @ msgs``
+    accumulates straight into a full VMEM node table (the grid runs
+    sequentially, so overlapping windows are safe).  This replaced the
+    original compact-rank scatter (one-hot over per-tile rank offsets +
+    an XLA ``at[node_of_rank].add`` expansion after the kernel): one
+    fewer one-hot build per tile, no [R, D] scatter-add launch per call.
     """
 
     order: jax.Array
     inv_order: jax.Array
     sorted_seg: jax.Array
     sorted_oth: jax.Array
-    ranks: jax.Array
-    node_of_rank: jax.Array
-    rank_off: jax.Array
     oth_win_off: jax.Array
     seg_win_off: jax.Array
-    # Optional PREBUILT one-hot operands (uint8 or bf16, [E, W*]): the
+    # Optional PREBUILT one-hot operands (int8 or bf16, [E, W*]): the
     # one-hots are pure functions of the static topology, so building
-    # them once host-side turns the kernels' dominant cost (the VPU
-    # iota-compare builds, ~98% of kernel time — see module header) into
-    # streamed DMA that Pallas double-buffers behind the MXU work.
+    # them once host-side turns the kernels' VPU iota-compare builds
+    # into streamed DMA that Pallas double-buffers behind the MXU work.
     # This is the blocked-ELL storage of the incidence matrix.
     oh_oth: Optional[jax.Array] = None     # [E, w_oth]
     oh_seg: Optional[jax.Array] = None     # [E, w_seg]
-    oh_rank: Optional[jax.Array] = None    # [E, w_rank]
     n_node: int = dataclasses.field(metadata=dict(static=True), default=0)
     n_edge: int = dataclasses.field(metadata=dict(static=True), default=0)
     tile_e: int = dataclasses.field(metadata=dict(static=True),
                                     default=DEFAULT_TILE_E)
     w_oth: int = dataclasses.field(metadata=dict(static=True), default=128)
     w_seg: int = dataclasses.field(metadata=dict(static=True), default=128)
-    # rank one-hot width: max per-tile compact-rank span (<= tile_e);
-    # kNN/layered graphs have ~10-30 distinct segments per 256-edge tile,
-    # so the scatter one-hot narrows from [T, T] to [T, 128]
-    w_rank: int = dataclasses.field(metadata=dict(static=True),
-                                    default=DEFAULT_TILE_E)
     table_rows: int = dataclasses.field(metadata=dict(static=True),
                                         default=128)
 
@@ -217,13 +216,13 @@ def build_edge_plan(seg_ids, oth_ids, n_node: int,
     ``inv_order`` (length = real edge count).
 
     ``precompute``: ``"int8"`` or ``"bf16"`` — additionally store the
-    three per-edge one-hot operands (gather-by-oth, gather-by-seg,
-    rank-scatter) as dense [E, W] arrays so the kernels stream them from
-    HBM instead of rebuilding them on the VPU every launch (the builds
-    are ~98% of kernel time).  Costs ``E*(w_oth + w_seg + w_rank)``
-    bytes (int8) of plan memory — e.g. ~70 MB at the fullevent config
-    (E=182k, 128/128/128).  ``"int8"`` halves the DMA and casts in the
-    kernel; ``"bf16"`` feeds the MXU directly.
+    two per-edge one-hot operands (gather-by-oth, gather-by-seg; they
+    double as the scatter operands) as dense [E, W] arrays so the
+    kernels stream them from HBM instead of rebuilding them on the VPU
+    every launch.  Costs ``E*(w_oth + w_seg)`` bytes (int8) of plan
+    memory — e.g. ~47 MB at the fullevent config (E=182k, 128/128).
+    ``"int8"`` halves the DMA and casts in the kernel; ``"bf16"`` feeds
+    the MXU directly.
     """
     seg_ids = np.asarray(seg_ids, np.int32)
     oth_ids = np.asarray(oth_ids, np.int32)
@@ -267,33 +266,23 @@ def build_edge_plan(seg_ids, oth_ids, n_node: int,
                 f"edge count {e} not a multiple of tile {tile_e}")
         inv_order = np.argsort(order, kind="stable").astype(np.int32)
         e_pad = e
-    new_seg = np.concatenate([[0], (ss[1:] != ss[:-1]).astype(np.int32)])
-    ranks = np.cumsum(new_seg).astype(np.int32)
-    node_of_rank = np.full(n_node + 1, n_node, np.int32)
-    node_of_rank[ranks] = ss
     n_tiles = e_pad // tile_e
-    rank_off = ranks[::tile_e].copy()
     oth_off, w_oth, tr1 = _window_offsets(
         so.reshape(n_tiles, tile_e), window, n_node)
     seg_off, w_seg, tr2 = _window_offsets(
         ss.reshape(n_tiles, tile_e), window_seg, n_node)
-    rank_span = int((ranks.reshape(n_tiles, tile_e)
-                     - rank_off[:, None]).max()) + 1
-    w_rank = min(_round_up(rank_span, 128), tile_e)
-    oh_oth = oh_seg = oh_rank = None
+    oh_oth = oh_seg = None
     if precompute is not None:
         import ml_dtypes
         dt = {"int8": np.int8, "bf16": ml_dtypes.bfloat16}[precompute]
         oh_oth = _prebuild_oh(so, oth_off, w_oth, tile_e, dt)
         oh_seg = _prebuild_oh(ss, seg_off, w_seg, tile_e, dt)
-        oh_rank = _prebuild_oh(ranks, rank_off, w_rank, tile_e, dt)
     return EdgePlan(
         order=order, inv_order=inv_order, sorted_seg=ss, sorted_oth=so,
-        ranks=ranks, node_of_rank=node_of_rank, rank_off=rank_off,
         oth_win_off=oth_off, seg_win_off=seg_off,
-        oh_oth=oh_oth, oh_seg=oh_seg, oh_rank=oh_rank,
+        oh_oth=oh_oth, oh_seg=oh_seg,
         n_node=n_node, n_edge=e_pad, tile_e=tile_e,
-        w_oth=w_oth, w_seg=w_seg, w_rank=w_rank, table_rows=max(tr1, tr2),
+        w_oth=w_oth, w_seg=w_seg, table_rows=max(tr1, tr2),
     )
 
 
@@ -325,7 +314,7 @@ def _sorted_w(w, plan: EdgePlan):
 
 
 # ---------------------------------------------------------------------------
-# SpMM kernel: out[rank] += onehot_rank^T @ (w * (onehot_gather @ h_window))
+# SpMM kernel: out[seg window] += onehot_seg^T @ (w * (onehot_oth @ h_window))
 # ---------------------------------------------------------------------------
 
 # Edge subtiles processed per grid step: amortises the per-step grid/DMA
@@ -353,8 +342,9 @@ def _precision_for(dtype) -> jax.lax.Precision:
             else jax.lax.Precision.HIGHEST)
 
 
-def _spmm_kernel(rank_off_ref, win_off_ref, ranks_ref, oth_ref, w_ref,
-                 h_ref, out_ref, *, w_oth, tile_e, subtiles, precision):
+def _spmm_kernel(seg_off_ref, win_off_ref, seg_ref, oth_ref, w_ref,
+                 h_ref, out_ref, *, w_oth, w_seg, tile_e, subtiles,
+                 precision):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -364,37 +354,25 @@ def _spmm_kernel(rank_off_ref, win_off_ref, ranks_ref, oth_ref, w_ref,
     for k in range(subtiles):
         t = g * subtiles + k
         sl = slice(k * tile_e, (k + 1) * tile_e)
-        r0 = rank_off_ref[t]
+        s0 = pl.multiple_of(seg_off_ref[t], 16)
         v0 = pl.multiple_of(win_off_ref[t], 16)
-        window = h_ref[pl.ds(v0, w_oth), :]                   # [W, D]
-        loc = oth_ref[sl]                                     # [T, 1]
-        gcols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, w_oth), 1)
-        oh_g = ((loc - v0) == gcols).astype(h_ref.dtype)      # [T, W]
-        gathered = jnp.dot(oh_g, window,
-                           preferred_element_type=jnp.float32,
-                           precision=precision)              # [T, D] f32
+        oh_g = _oh(oth_ref[sl], v0, w_oth, h_ref.dtype)       # [T, Wo]
+        gathered = _dotf(oh_g, h_ref[pl.ds(v0, w_oth), :],
+                         precision)                           # [T, D] f32
         msgs = gathered * w_ref[sl]                           # [T, D]
-        lr = ranks_ref[sl] - r0                               # [T, 1]
-        scols = jax.lax.broadcasted_iota(jnp.int32, (tile_e, tile_e), 1)
-        oh_s = (lr == scols).astype(h_ref.dtype)              # [T, T]
-        partial = jax.lax.dot_general(
-            oh_s, msgs.astype(h_ref.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )                                                     # [T, D]
-        out_ref[pl.ds(r0, tile_e), :] += partial
+        oh_s = _oh(seg_ref[sl], s0, w_seg, h_ref.dtype)       # [T, Ws]
+        out_ref[pl.ds(s0, w_seg), :] += _dott(
+            oh_s, msgs.astype(h_ref.dtype), precision)
 
 
-def _spmm_compact(h_table: jax.Array, w_sorted: jax.Array,
-                  plan: EdgePlan,
-                  subtiles: int | None = None) -> jax.Array:
-    """Compact [R_pad, D] f32 rank sums for one direction."""
+def _spmm_table(h_table: jax.Array, w_sorted: jax.Array,
+                plan: EdgePlan,
+                subtiles: int | None = None) -> jax.Array:
+    """[table_rows, D] f32 node sums for one direction."""
     if subtiles is None:
         subtiles = DEFAULT_SUBTILES  # module attr: tunable at runtime
     e, t = plan.n_edge, plan.tile_e
     d = h_table.shape[1]
-    n_ranks_pad = _round_up(plan.n_node + 1, 8) + t
     while plan.n_tiles % subtiles:
         subtiles //= 2
     group = t * subtiles
@@ -413,19 +391,20 @@ def _spmm_compact(h_table: jax.Array, w_sorted: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_spmm_kernel, w_oth=plan.w_oth, tile_e=t,
+        functools.partial(_spmm_kernel, w_oth=plan.w_oth,
+                          w_seg=plan.w_seg, tile_e=t,
                           subtiles=subtiles,
                           precision=_precision_for(h_table.dtype)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_ranks_pad, d), jnp.float32),
+        compiler_params=_VMEM_LIMIT,
+        out_shape=jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * e * (plan.w_oth + t) * d,
-            bytes_accessed=(plan.table_rows * d + n_ranks_pad * d + 3 * e)
-            * 4,
+            flops=2 * e * (plan.w_oth + plan.w_seg) * d,
+            bytes_accessed=(2 * plan.table_rows * d + 3 * e) * 4,
             transcendentals=0,
         ),
-    )(plan.rank_off, plan.oth_win_off,
-      plan.ranks[:, None], plan.sorted_oth[:, None],
+    )(plan.seg_win_off, plan.oth_win_off,
+      plan.sorted_seg[:, None], plan.sorted_oth[:, None],
       w_sorted[:, None], h_table)
 
 
@@ -443,13 +422,7 @@ def _spmm_raw(h: jax.Array, w: jax.Array, plan: EdgePlan) -> jax.Array:
     (permutation into plan order is fused here).  Returns [n_node, D] in
     ``h.dtype``."""
     w_sorted = _sorted_w(w, plan)
-    compact = _spmm_compact(_pad_table(h, plan), w_sorted, plan)
-    out = jnp.zeros((plan.n_node + 1, h.shape[1]), jnp.float32)
-    # No unique_indices: every unused rank slot of node_of_rank holds the
-    # same dump index n_node (duplicates), so the unique-indices contract
-    # would be violated (UB).  The duplicate rows contribute zeros and the
-    # dump row is sliced off below.
-    out = out.at[plan.node_of_rank].add(compact[: plan.n_node + 1])
+    out = _spmm_table(_pad_table(h, plan), w_sorted, plan)
     return out[: plan.n_node].astype(h.dtype)
 
 
@@ -607,19 +580,19 @@ def sddmm_dual(p: jax.Array, q: jax.Array, u: jax.Array, v: jax.Array,
 # ---------------------------------------------------------------------------
 #
 # Everything is expressed in the RECV plan's sorted order (seg = recv,
-# oth = send).  Per edge tile only THREE one-hot builds are needed:
+# oth = send).  Per edge tile only TWO one-hot operands are needed:
 #
-#   oh_s [T, Ws]  gather rows by seg id        oh_o [T, Wo]  by oth id
-#   oh_r [T, T]   compact-rank scatter by seg
+#   oh_s [T, Ws]  by seg id        oh_o [T, Wo]  by oth id
 #
-# and every gather/scatter is a matmul against them.  The one-hot *build*
-# (VPU iota compare, O(T*(W+T))) dominates kernel time (ablation in the
-# header), so the fused forms — 3 builds for both directions vs 4 for
-# two separate SpMMs, and 3 builds for the whole backward vs 6 for
-# 2 SpMMs + the dual SDDMM — are the main lever.  Scatters to the seg
-# side land in a VMEM-resident compact rank table (seg is sorted);
-# scatters to the oth side accumulate into a full-table VMEM output via
-# per-tile window slices (safe: the TPU grid executes sequentially).
+# and every gather AND scatter is a matmul against them: gathers as
+# ``oh @ window``, scatters as ``oh^T @ msgs`` accumulated into
+# full-table VMEM outputs via per-tile window slices (safe: the TPU
+# grid executes sequentially).  The one-hots are either built in-kernel
+# (VPU iota compare, O(T*W)) or — with ``precompute`` — streamed
+# prebuilt from HBM.  The fused forms need 2 builds for both forward
+# directions (vs 4 for two separate SpMMs) and 2 for the whole backward
+# (vs 6 for 2 SpMMs + the dual SDDMM), and no XLA scatter-add fixup
+# launches after the kernel.
 
 
 def _oh(ids, off, width, dtype):
@@ -639,10 +612,10 @@ def _dott(a, b, precision):
         preferred_element_type=jnp.float32, precision=precision)
 
 
-def _agg_pair_kernel(rank_off_ref, oth_off_ref, seg_off_ref,
-                     ranks_ref, oth_ref, seg_ref, w_ref, h_ref,
-                     mi_ref, mo_ref, *, w_oth, w_seg, tile_e, subtiles,
-                     precision):
+def _agg_pair_kernel(oth_off_ref, seg_off_ref,
+                     oth_ref, seg_ref, w_ref, h_ref,
+                     mi_ref, mo_ref, *, w_oth, w_seg, tile_e,
+                     subtiles, precision):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -654,17 +627,46 @@ def _agg_pair_kernel(rank_off_ref, oth_off_ref, seg_off_ref,
     for k in range(subtiles):
         t = g * subtiles + k
         sl = slice(k * tile_e, (k + 1) * tile_e)
-        r0 = rank_off_ref[t]
         vo = pl.multiple_of(oth_off_ref[t], 16)
         vs = pl.multiple_of(seg_off_ref[t], 16)
         oh_o = _oh(oth_ref[sl], vo, w_oth, dt)
         oh_s = _oh(seg_ref[sl], vs, w_seg, dt)
-        oh_r = _oh(ranks_ref[sl], r0, tile_e, dt)
         w = w_ref[sl]
         h_o = _dotf(oh_o, h_ref[pl.ds(vo, w_oth), :], precision)  # h[send]
         h_s = _dotf(oh_s, h_ref[pl.ds(vs, w_seg), :], precision)  # h[recv]
-        mi_ref[pl.ds(r0, tile_e), :] += _dott(
-            oh_r, (w * h_o).astype(dt), precision)
+        mi_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, (w * h_o).astype(dt), precision)
+        mo_ref[pl.ds(vo, w_oth), :] += _dott(
+            oh_o, (w * h_s).astype(dt), precision)
+
+
+def _agg_pair_kernel_pre(oth_off_ref, seg_off_ref,
+                         oho_ref, ohs_ref, w_ref, h_ref,
+                         mi_ref, mo_ref, *, w_oth, w_seg, tile_e,
+                         subtiles, precision):
+    """Prebuilt-one-hot variant: both one-hots stream from HBM
+    ([group, W] blocks, double-buffered by the grid pipeline) instead of
+    being rebuilt on the VPU."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        mi_ref[:] = jnp.zeros_like(mi_ref)
+        mo_ref[:] = jnp.zeros_like(mo_ref)
+
+    dt = h_ref.dtype
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        vo = pl.multiple_of(oth_off_ref[t], 16)
+        vs = pl.multiple_of(seg_off_ref[t], 16)
+        oh_o = oho_ref[sl, :].astype(dt)
+        oh_s = ohs_ref[sl, :].astype(dt)
+        w = w_ref[sl]
+        h_o = _dotf(oh_o, h_ref[pl.ds(vo, w_oth), :], precision)
+        h_s = _dotf(oh_s, h_ref[pl.ds(vs, w_seg), :], precision)
+        mi_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, (w * h_o).astype(dt), precision)
         mo_ref[pl.ds(vo, w_oth), :] += _dott(
             oh_o, (w * h_s).astype(dt), precision)
 
@@ -672,23 +674,30 @@ def _agg_pair_kernel(rank_off_ref, oth_off_ref, seg_off_ref,
 def _pair_grid(plan: EdgePlan, subtiles, n_scalar, in_specs, out_specs,
                d: int = 1):
     """Grid spec helper: ``"edge"`` -> per-step [group, 1] block,
-    ``"edge_d"`` -> per-step [group, d] block, ``"tab"`` -> whole-array
+    ``"edge_d"`` -> per-step [group, d] block, ``("edge", w)`` -> per-step
+    [group, w] block (prebuilt one-hot streams), ``"tab"`` -> whole-array
     VMEM resident."""
     while plan.n_tiles % subtiles:
         subtiles //= 2
     group = plan.tile_e * subtiles
-    specs = {
-        "edge": pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-        "edge_d": pl.BlockSpec((group, d), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        "tab": pl.BlockSpec(memory_space=pltpu.VMEM),
-    }
+
+    def spec(s):
+        if isinstance(s, tuple):
+            return pl.BlockSpec((group, s[1]), lambda i, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
+        return {
+            "edge": pl.BlockSpec((group, 1), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+            "edge_d": pl.BlockSpec((group, d), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            "tab": pl.BlockSpec(memory_space=pltpu.VMEM),
+        }[s]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
         grid=(plan.n_tiles // subtiles,),
-        in_specs=[specs[s] for s in in_specs],
-        out_specs=[specs[s] for s in out_specs],
+        in_specs=[spec(s) for s in in_specs],
+        out_specs=[spec(s) for s in out_specs],
     )
     return subtiles, grid_spec
 
@@ -698,57 +707,58 @@ def _agg_pair_fused(h: jax.Array, w: jax.Array, plan: EdgePlan,
     """(mi, mo) of :func:`aggregate_pair` in ONE kernel launch."""
     subtiles = DEFAULT_SUBTILES if subtiles is None else subtiles
     e, t, d = plan.n_edge, plan.tile_e, h.shape[1]
-    n_ranks_pad = _round_up(plan.n_node + 1, 8) + t
-    subtiles, grid_spec = _pair_grid(
-        plan, subtiles, 3, ["edge"] * 4 + ["tab"], ["tab", "tab"])
     w_sorted = _sorted_w(w, plan)
-    mi_c, mo_tab = pl.pallas_call(
-        functools.partial(_agg_pair_kernel, w_oth=plan.w_oth,
-                          w_seg=plan.w_seg, tile_e=t, subtiles=subtiles,
+    if plan.prebuilt:
+        kernel = _agg_pair_kernel_pre
+        in_specs = [("edge", plan.w_oth), ("edge", plan.w_seg),
+                    "edge", "tab"]
+        operands = (plan.oh_oth, plan.oh_seg)
+    else:
+        kernel = _agg_pair_kernel
+        in_specs = ["edge"] * 3 + ["tab"]
+        operands = (plan.sorted_oth[:, None], plan.sorted_seg[:, None])
+    subtiles, grid_spec = _pair_grid(
+        plan, subtiles, 2, in_specs, ["tab", "tab"])
+    mi_tab, mo_tab = pl.pallas_call(
+        functools.partial(kernel, w_oth=plan.w_oth,
+                          w_seg=plan.w_seg, tile_e=t,
+                          subtiles=subtiles,
                           precision=_precision_for(h.dtype)),
         grid_spec=grid_spec,
         compiler_params=_VMEM_LIMIT,
-        out_shape=[jax.ShapeDtypeStruct((n_ranks_pad, d), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
                    jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * e * (plan.w_oth + plan.w_seg + 2 * t) * d
+            flops=4 * e * (plan.w_oth + plan.w_seg) * d
             + 2 * e * (plan.w_oth + plan.w_seg),
             bytes_accessed=(3 * plan.table_rows * d + 4 * e) * 4,
             transcendentals=0,
         ),
-    )(plan.rank_off, plan.oth_win_off, plan.seg_win_off,
-      plan.ranks[:, None], plan.sorted_oth[:, None],
-      plan.sorted_seg[:, None], w_sorted[:, None], _pad_table(h, plan))
-    mi = jnp.zeros((plan.n_node + 1, d), jnp.float32)
-    # No unique_indices: unused rank slots of node_of_rank duplicate the
-    # dump index n_node; their rows are zero and sliced off.
-    mi = mi.at[plan.node_of_rank].add(mi_c[: plan.n_node + 1])
-    return (mi[: plan.n_node].astype(h.dtype),
+    )(plan.oth_win_off, plan.seg_win_off,
+      *operands, w_sorted[:, None], _pad_table(h, plan))
+    return (mi_tab[: plan.n_node].astype(h.dtype),
             mo_tab[: plan.n_node].astype(h.dtype))
 
 
-def _agg_bwd_kernel(rank_off_ref, oth_off_ref, seg_off_ref,
-                    ranks_ref, oth_ref, seg_ref, w_ref,
+def _agg_bwd_kernel(oth_off_ref, seg_off_ref,
+                    oth_ref, seg_ref, w_ref,
                     gmi_ref, gmo_ref, h_ref,
-                    dhc_ref, dht_ref, dw_ref, *, w_oth, w_seg, tile_e,
-                    subtiles, precision):
+                    dh_ref, dw_ref, *, w_oth, w_seg,
+                    tile_e, subtiles, precision):
     g = pl.program_id(0)
 
     @pl.when(g == 0)
     def _():
-        dhc_ref[:] = jnp.zeros_like(dhc_ref)
-        dht_ref[:] = jnp.zeros_like(dht_ref)
+        dh_ref[:] = jnp.zeros_like(dh_ref)
 
     dt = h_ref.dtype
     for k in range(subtiles):
         t = g * subtiles + k
         sl = slice(k * tile_e, (k + 1) * tile_e)
-        r0 = rank_off_ref[t]
         vo = pl.multiple_of(oth_off_ref[t], 16)
         vs = pl.multiple_of(seg_off_ref[t], 16)
         oh_o = _oh(oth_ref[sl], vo, w_oth, dt)
         oh_s = _oh(seg_ref[sl], vs, w_seg, dt)
-        oh_r = _oh(ranks_ref[sl], r0, tile_e, dt)
         w = w_ref[sl]
         gmi_s = _dotf(oh_s, gmi_ref[pl.ds(vs, w_seg), :], precision)
         gmo_o = _dotf(oh_o, gmo_ref[pl.ds(vo, w_oth), :], precision)
@@ -757,12 +767,45 @@ def _agg_bwd_kernel(rank_off_ref, oth_off_ref, seg_off_ref,
         # dw[e] = <g_mi[recv], h[send]> + <g_mo[send], h[recv]>
         dw_ref[sl] = jnp.sum(gmi_s * h_o + gmo_o * h_s, axis=1,
                              keepdims=True)
-        # dh[send] += w * g_mi[recv]   (window scatter on the oth side)
-        dht_ref[pl.ds(vo, w_oth), :] += _dott(
+        # BOTH dh scatters accumulate into ONE node table:
+        # dh[send] += w * g_mi[recv]  and  dh[recv] += w * g_mo[send]
+        dh_ref[pl.ds(vo, w_oth), :] += _dott(
             oh_o, (w * gmi_s).astype(dt), precision)
-        # dh[recv] += w * g_mo[send]   (compact rank scatter)
-        dhc_ref[pl.ds(r0, tile_e), :] += _dott(
-            oh_r, (w * gmo_o).astype(dt), precision)
+        dh_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, (w * gmo_o).astype(dt), precision)
+
+
+def _agg_bwd_kernel_pre(oth_off_ref, seg_off_ref,
+                        oho_ref, ohs_ref, w_ref,
+                        gmi_ref, gmo_ref, h_ref,
+                        dh_ref, dw_ref, *, w_oth, w_seg,
+                        tile_e, subtiles, precision):
+    """Prebuilt-one-hot variant of the fused backward."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    dt = h_ref.dtype
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        vo = pl.multiple_of(oth_off_ref[t], 16)
+        vs = pl.multiple_of(seg_off_ref[t], 16)
+        oh_o = oho_ref[sl, :].astype(dt)
+        oh_s = ohs_ref[sl, :].astype(dt)
+        w = w_ref[sl]
+        gmi_s = _dotf(oh_s, gmi_ref[pl.ds(vs, w_seg), :], precision)
+        gmo_o = _dotf(oh_o, gmo_ref[pl.ds(vo, w_oth), :], precision)
+        h_o = _dotf(oh_o, h_ref[pl.ds(vo, w_oth), :], precision)
+        h_s = _dotf(oh_s, h_ref[pl.ds(vs, w_seg), :], precision)
+        dw_ref[sl] = jnp.sum(gmi_s * h_o + gmo_o * h_s, axis=1,
+                             keepdims=True)
+        dh_ref[pl.ds(vo, w_oth), :] += _dott(
+            oh_o, (w * gmi_s).astype(dt), precision)
+        dh_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, (w * gmo_o).astype(dt), precision)
 
 
 def _agg_bwd_fused(g_mi, g_mo, h, w, plan: EdgePlan,
@@ -770,34 +813,37 @@ def _agg_bwd_fused(g_mi, g_mo, h, w, plan: EdgePlan,
     """(dh, dw) of :func:`aggregate_pair` in ONE kernel launch."""
     subtiles = DEFAULT_SUBTILES if subtiles is None else subtiles
     e, t, d = plan.n_edge, plan.tile_e, h.shape[1]
-    n_ranks_pad = _round_up(plan.n_node + 1, 8) + t
+    if plan.prebuilt:
+        kernel = _agg_bwd_kernel_pre
+        in_specs = [("edge", plan.w_oth), ("edge", plan.w_seg),
+                    "edge"] + ["tab"] * 3
+        operands = (plan.oh_oth, plan.oh_seg)
+    else:
+        kernel = _agg_bwd_kernel
+        in_specs = ["edge"] * 3 + ["tab"] * 3
+        operands = (plan.sorted_oth[:, None], plan.sorted_seg[:, None])
     subtiles, grid_spec = _pair_grid(
-        plan, subtiles, 3, ["edge"] * 4 + ["tab"] * 3,
-        ["tab", "tab", "edge"])
+        plan, subtiles, 2, in_specs, ["tab", "edge"])
     w_sorted = _sorted_w(w, plan)
-    dh_c, dh_tab, dw = pl.pallas_call(
-        functools.partial(_agg_bwd_kernel, w_oth=plan.w_oth,
-                          w_seg=plan.w_seg, tile_e=t, subtiles=subtiles,
+    dh_tab, dw = pl.pallas_call(
+        functools.partial(kernel, w_oth=plan.w_oth,
+                          w_seg=plan.w_seg, tile_e=t,
+                          subtiles=subtiles,
                           precision=_precision_for(h.dtype)),
         grid_spec=grid_spec,
         compiler_params=_VMEM_LIMIT,
-        out_shape=[jax.ShapeDtypeStruct((n_ranks_pad, d), jnp.float32),
-                   jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
                    jax.ShapeDtypeStruct((e, 1), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * e * d * (2 * plan.w_oth + 2 * plan.w_seg + 2 * t)
-            + 6 * e * d,
-            bytes_accessed=(5 * plan.table_rows * d + 5 * e) * 4,
+            flops=8 * e * d * (plan.w_oth + plan.w_seg) + 6 * e * d,
+            bytes_accessed=(4 * plan.table_rows * d + 5 * e) * 4,
             transcendentals=0,
         ),
-    )(plan.rank_off, plan.oth_win_off, plan.seg_win_off,
-      plan.ranks[:, None], plan.sorted_oth[:, None],
-      plan.sorted_seg[:, None], w_sorted[:, None],
+    )(plan.oth_win_off, plan.seg_win_off,
+      *operands, w_sorted[:, None],
       _pad_table(g_mi.astype(h.dtype), plan),
       _pad_table(g_mo.astype(h.dtype), plan), _pad_table(h, plan))
-    dh = jnp.zeros((plan.n_node + 1, d), jnp.float32)
-    dh = dh.at[plan.node_of_rank].add(dh_c[: plan.n_node + 1])
-    dh = dh[: plan.n_node] + dh_tab[: plan.n_node]
+    dh = dh_tab[: plan.n_node]
     dw_edge = jnp.take(dw[:, 0], plan.inv_order, axis=0)
     return dh, dw_edge
 
@@ -855,8 +901,8 @@ def _gather_pair_kernel(oth_off_ref, seg_off_ref, oth_ref, seg_ref,
             + _dotf(oh_s, pb_ref[pl.ds(vs, w_seg), :], precision))
 
 
-def _gather_bwd_kernel(rank_off_ref, oth_off_ref, ranks_ref, oth_ref,
-                       g_ref, dpa_ref, dpb_ref, *, w_oth, tile_e,
+def _gather_bwd_kernel(oth_off_ref, seg_off_ref, oth_ref, seg_ref,
+                       g_ref, dpa_ref, dpb_ref, *, w_oth, w_seg, tile_e,
                        subtiles, precision):
     g = pl.program_id(0)
 
@@ -869,13 +915,37 @@ def _gather_bwd_kernel(rank_off_ref, oth_off_ref, ranks_ref, oth_ref,
     for k in range(subtiles):
         t = g * subtiles + k
         sl = slice(k * tile_e, (k + 1) * tile_e)
-        r0 = rank_off_ref[t]
         vo = pl.multiple_of(oth_off_ref[t], 16)
+        vs = pl.multiple_of(seg_off_ref[t], 16)
         oh_o = _oh(oth_ref[sl], vo, w_oth, dt)
-        oh_r = _oh(ranks_ref[sl], r0, tile_e, dt)
+        oh_s = _oh(seg_ref[sl], vs, w_seg, dt)
         gt = g_ref[sl, :]
         dpa_ref[pl.ds(vo, w_oth), :] += _dott(oh_o, gt, precision)
-        dpb_ref[pl.ds(r0, tile_e), :] += _dott(oh_r, gt, precision)
+        dpb_ref[pl.ds(vs, w_seg), :] += _dott(oh_s, gt, precision)
+
+
+def _gather_bwd_kernel_pre(oth_off_ref, seg_off_ref, oho_ref, ohs_ref,
+                           g_ref, dpa_ref, dpb_ref, *, w_oth, w_seg,
+                           tile_e, subtiles, precision):
+    """Prebuilt-one-hot variant of the gather_pair backward."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        dpa_ref[:] = jnp.zeros_like(dpa_ref)
+        dpb_ref[:] = jnp.zeros_like(dpb_ref)
+
+    dt = g_ref.dtype
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        vo = pl.multiple_of(oth_off_ref[t], 16)
+        vs = pl.multiple_of(seg_off_ref[t], 16)
+        oh_o = oho_ref[sl, :].astype(dt)
+        oh_s = ohs_ref[sl, :].astype(dt)
+        gt = g_ref[sl, :]
+        dpa_ref[pl.ds(vo, w_oth), :] += _dott(oh_o, gt, precision)
+        dpb_ref[pl.ds(vs, w_seg), :] += _dott(oh_s, gt, precision)
 
 
 def _gather_pair_raw(pa, pb, plan: EdgePlan, subtiles=None):
@@ -904,31 +974,34 @@ def _gather_pair_raw(pa, pb, plan: EdgePlan, subtiles=None):
 def _gather_pair_bwd_raw(g, plan: EdgePlan, dtype, subtiles=None):
     subtiles = DEFAULT_SUBTILES if subtiles is None else subtiles
     e, t, d = plan.n_edge, plan.tile_e, g.shape[1]
-    n_ranks_pad = _round_up(plan.n_node + 1, 8) + t
     # cotangent rows into plan order; pad-slot sentinels -> zero rows
     g_sorted = jnp.take(g.astype(dtype), plan.order, axis=0,
                         mode="fill", fill_value=0)
+    if plan.prebuilt:
+        kernel = _gather_bwd_kernel_pre
+        in_specs = [("edge", plan.w_oth), ("edge", plan.w_seg), "edge_d"]
+        operands = (plan.oh_oth, plan.oh_seg)
+    else:
+        kernel = _gather_bwd_kernel
+        in_specs = ["edge", "edge", "edge_d"]
+        operands = (plan.sorted_oth[:, None], plan.sorted_seg[:, None])
     subtiles, grid_spec = _pair_grid(
-        plan, subtiles, 2, ["edge", "edge", "edge_d"], ["tab", "tab"],
-        d=d)
-    dpa_tab, dpb_c = pl.pallas_call(
-        functools.partial(_gather_bwd_kernel, w_oth=plan.w_oth,
+        plan, subtiles, 2, in_specs, ["tab", "tab"], d=d)
+    dpa_tab, dpb_tab = pl.pallas_call(
+        functools.partial(kernel, w_oth=plan.w_oth, w_seg=plan.w_seg,
                           tile_e=t, subtiles=subtiles,
                           precision=_precision_for(dtype)),
         grid_spec=grid_spec,
         compiler_params=_VMEM_LIMIT,
         out_shape=[jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
-                   jax.ShapeDtypeStruct((n_ranks_pad, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * e * (plan.w_oth + t) * d,
+            flops=2 * e * (plan.w_oth + plan.w_seg) * d,
             bytes_accessed=(2 * plan.table_rows * d + e * d + 2 * e) * 4,
             transcendentals=0,
         ),
-    )(plan.rank_off, plan.oth_win_off,
-      plan.ranks[:, None], plan.sorted_oth[:, None], g_sorted)
-    dpb = jnp.zeros((plan.n_node + 1, d), jnp.float32)
-    dpb = dpb.at[plan.node_of_rank].add(dpb_c[: plan.n_node + 1])
-    return dpa_tab[: plan.n_node], dpb[: plan.n_node]
+    )(plan.oth_win_off, plan.seg_win_off, *operands, g_sorted)
+    return dpa_tab[: plan.n_node], dpb_tab[: plan.n_node]
 
 
 @jax.custom_vjp

@@ -368,3 +368,93 @@ def test_boundary_plans_in_model_path():
         lp = mpnn.segment_classifier_logits(params, gp, pcfg)
     np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pre", ["int8", "bf16"])
+def test_prebuilt_onehots_match_oracle_with_grads(pre):
+    """Blocked-ELL prebuilt one-hot operands (streamed from HBM instead of
+    VPU iota-compare builds) must be bit-equivalent to the build path:
+    same 0/1 values feed the same MXU contractions."""
+    h, w, s, r = _random_graph(7, 80, 192, 16)
+    plans = sp.build_agg_plans(s, r, 80, tile_e=32, precompute=pre)
+    assert plans.recv.prebuilt and not plans.send.prebuilt
+    assert plans.recv.oh_oth.shape == (plans.recv.n_edge, plans.recv.w_oth)
+    hj, wj = jnp.asarray(h), jnp.asarray(w)
+    with pltpu.force_tpu_interpret_mode():
+        mi, mo = sp.aggregate_pair(hj, wj, plans)
+    emi, emo = sp.aggregate_pair_reference(h, w, s, r, 80)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(emi),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(emo),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda hh, ww: jnp.sum(
+            jnp.stack(fn(hh, ww)).astype(jnp.float32) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gh, gw = jax.grad(loss(lambda a, b: sp.aggregate_pair(a, b, plans)),
+                          argnums=(0, 1))(hj, wj)
+    egh, egw = jax.grad(
+        loss(lambda a, b: sp.aggregate_pair_reference(a, b, s, r, 80)),
+        argnums=(0, 1))(hj, wj)
+    np.testing.assert_allclose(np.asarray(gh), np.asarray(egh),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(egw),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_prebuilt_gather_pair_grads_match():
+    h, _, s, r = _random_graph(8, 80, 192, 16)
+    rng = np.random.default_rng(9)
+    pa = jnp.asarray(rng.normal(size=(80, 16)).astype(np.float32))
+    pb = jnp.asarray(rng.normal(size=(80, 16)).astype(np.float32))
+    plans = sp.build_agg_plans(s, r, 80, tile_e=32, precompute="int8")
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+
+    def loss(fn):
+        return lambda a, b: jnp.sum(fn(a, b) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        da, db = jax.grad(
+            loss(lambda a, b: sp.gather_pair(a, b, sj, rj, plans)),
+            argnums=(0, 1))(pa, pb)
+    eda, edb = jax.grad(
+        loss(lambda a, b: sp.gather_pair_reference(a, b, sj, rj)),
+        argnums=(0, 1))(pa, pb)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(eda),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(edb),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_prebuilt_plans_in_model_path():
+    """segment_classifier with aggregation='pallas' over prebuilt plans
+    (core.graph.attach_plans(precompute=...)) matches the sparse path,
+    forward and grads."""
+    from gnn_fpga_tpu.core import graph as G
+    from gnn_fpga_tpu.models import mpnn
+
+    g = _packed_graph(seed=3)
+    g = G.attach_plans(g.replace(plans=None), tile_e=32, precompute="int8")
+    cfg_s = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=8,
+                                         n_iters=2, aggregation="sparse")
+    cfg_p = dataclasses_replace(cfg_s, aggregation="pallas")
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(2), cfg_s)
+
+    def loss(params, cfg):
+        logits = mpnn.segment_classifier_logits(params, g, cfg)
+        per = jnp.maximum(logits, 0) - logits * g.y + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return (per * g.edge_mask).sum() / g.edge_mask.sum()
+
+    ls = mpnn.segment_classifier_logits(params, g, cfg_s)
+    gs = jax.grad(loss)(params, cfg_s)
+    with pltpu.force_tpu_interpret_mode():
+        lp = mpnn.segment_classifier_logits(params, g, cfg_p)
+        gp = jax.grad(loss)(params, cfg_p)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
