@@ -202,6 +202,11 @@ class SegmentClassifierConfig:
     # attached, else pallas if plans attached, else dense iff
     # n_node * n_edge fits a small one-hot.
     aggregation: str = "auto"
+    # Rematerialise the message-passing iteration in the backward pass
+    # (jax.checkpoint on the scan body).  The train step at large-E is
+    # HBM-bound on per-iteration [E, H] activations; remat trades the
+    # stores/loads of those residuals for recompute.
+    remat: bool = False
 
 
 def _cast_for_compute(params, x, compute_dtype):
@@ -440,6 +445,8 @@ def segment_classifier_logits(
         h = jnp.concatenate([h, x], axis=-1)
         return h, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters, unroll=cfg.unroll)
     logits = edge_logits(params["edge"], h, graph, masks_e, act)
     return logits.astype(jnp.float32)
@@ -560,6 +567,8 @@ class NodeClassifierConfig:
     # see SegmentClassifierConfig.aggregation (MXU path for small graphs)
     aggregation: str = "auto"
     compute_dtype: Any = None
+    # see SegmentClassifierConfig.remat
+    remat: bool = False
 
 
 def init_node_classifier(key, cfg: NodeClassifierConfig) -> Params:
@@ -599,6 +608,8 @@ def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None)
         h = jnp.concatenate([h, x], axis=-1)
         return h, None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, None, length=cfg.n_iters, unroll=cfg.unroll)
     return _linear(params["output"], h)[..., 0].astype(jnp.float32)
 

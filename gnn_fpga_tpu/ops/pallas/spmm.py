@@ -1018,7 +1018,9 @@ def gather_pair(pa: jax.Array, pb: jax.Array, senders: jax.Array,
     engine beats rebuilding one-hots on the VPU).  The VJP — two
     [E, D]-row segment-sums, the scatter XLA handles badly (2336 us
     fwd+bwd) — runs as ONE fused Pallas scatter kernel
-    (`_gather_bwd_kernel`).  Returns [E, D] f32 in EDGE order.
+    (`_gather_bwd_kernel`).  Returns [E, D] in the INPUT dtype, EDGE
+    order — at bf16 the [E, D] pre-activation is the train step's
+    biggest HBM tensor, and emitting it f32 would double its traffic.
     """
     del plans
     return gather_pair_reference(pa, pb, senders, receivers)
@@ -1041,7 +1043,7 @@ gather_pair.defvjp(_gp_fwd, _gp_bwd)
 
 def gather_pair_reference(pa, pb, senders, receivers):
     return (jnp.take(pa, senders, axis=0)
-            + jnp.take(pb, receivers, axis=0)).astype(jnp.float32)
+            + jnp.take(pb, receivers, axis=0))
 
 
 def spmm(h: jax.Array, w: jax.Array, plan: EdgePlan,
