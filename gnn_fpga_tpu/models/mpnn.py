@@ -138,6 +138,16 @@ def edge_network_logits_proj(
     return _linear(params["l2"], z, m2)[..., 0]
 
 
+def node_mlp(params, mi, mo, h, masks: Masks = None, activation=jnp.tanh):
+    """The node MLP half of :func:`node_network` on precomputed
+    aggregations (`model.py:94-98,120-125`)."""
+    m = jnp.concatenate([mi, mo, h], axis=-1)
+    m1 = None if masks is None else masks["l1"]
+    m2 = None if masks is None else masks["l2"]
+    z = activation(_linear(params["l1"], m, m1))
+    return activation(_linear(params["l2"], z, m2))
+
+
 def node_network(
     params, h, e, graph: Graph, masks: Masks = None, activation=jnp.tanh,
     use_pallas: bool = False,
@@ -164,11 +174,7 @@ def node_network(
         bi = ops.gather(h, graph.receivers) * em[:, None]
         mi = ops.weighted_segment_sum(bo, e, graph.receivers, n)
         mo = ops.weighted_segment_sum(bi, e, graph.senders, n)
-    m = jnp.concatenate([mi, mo, h], axis=-1)
-    m1 = None if masks is None else masks["l1"]
-    m2 = None if masks is None else masks["l2"]
-    z = activation(_linear(params["l1"], m, m1))
-    return activation(_linear(params["l2"], z, m2))
+    return node_mlp(params, mi, mo, h, masks, activation)
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +213,11 @@ class SegmentClassifierConfig:
     # HBM-bound on per-iteration [E, H] activations; remat trades the
     # stores/loads of those residuals for recompute.
     remat: bool = False
+    # On the pallas path with tanh activation, run each iteration's edge
+    # scoring + sigmoid + weighted aggregation as ONE fused kernel
+    # (ops.pallas.spmm.iteration_pair): no [E, H] intermediate ever
+    # touches HBM.  Disable to fall back to gather_pair+aggregate_pair.
+    fused_iteration: bool = True
 
 
 def _cast_for_compute(params, x, compute_dtype):
@@ -438,12 +449,34 @@ def segment_classifier_logits(
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
-    def body(h, _):
-        e = jax.nn.sigmoid(edge_logits(params["edge"], h, graph, masks_e, act))
-        h = node_network(params["node"], h, e, graph, masks_n, act,
-                         use_pallas=use_pallas)
-        h = jnp.concatenate([h, x], axis=-1)
-        return h, None
+    fused = (use_pallas and cfg.fused_iteration and act is jnp.tanh)
+    if fused:
+        from gnn_fpga_tpu.ops.pallas.spmm import (iteration_pair,
+                                                  sort_edge_weights)
+        em_sorted = sort_edge_weights(
+            graph.edge_mask.astype(jnp.float32), graph.plans.recv)
+        m1 = None if masks_e is None else masks_e["l1"]
+        m2 = None if masks_e is None else masks_e["l2"]
+
+        def body(h, _):
+            ep = params["edge"]
+            w1 = ep["l1"]["w"] if m1 is None else ep["l1"]["w"] * m1
+            w2 = ep["l2"]["w"] if m2 is None else ep["l2"]["w"] * m2
+            d = h.shape[-1]
+            mi, mo = iteration_pair(
+                h @ w1[:d], h @ w1[d:], h, em_sorted, w2[:, 0],
+                ep["l1"]["b"], ep["l2"]["b"], graph.plans)
+            h = node_mlp(params["node"], mi, mo, h, masks_n, act)
+            h = jnp.concatenate([h, x], axis=-1)
+            return h, None
+    else:
+        def body(h, _):
+            e = jax.nn.sigmoid(
+                edge_logits(params["edge"], h, graph, masks_e, act))
+            h = node_network(params["node"], h, e, graph, masks_n, act,
+                             use_pallas=use_pallas)
+            h = jnp.concatenate([h, x], axis=-1)
+            return h, None
 
     if cfg.remat:
         body = jax.checkpoint(body)

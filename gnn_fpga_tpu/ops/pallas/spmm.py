@@ -1046,6 +1046,265 @@ def gather_pair_reference(pa, pb, senders, receivers):
             + jnp.take(pb, receivers, axis=0))
 
 
+# ---------------------------------------------------------------------------
+# iteration_pair: ONE kernel for a whole message-passing iteration's edge
+# scoring + weighted aggregation (fwd and bwd each a single launch)
+# ---------------------------------------------------------------------------
+#
+# The per-iteration chain of the SegmentClassifier (`model.py:148-154`,
+# proj form `models/mpnn.py edge_network_logits_proj`):
+#
+#     pre[e] = (pa[send] + pb[recv]) * em        [E, H]
+#     z      = tanh(pre + b1)                    [E, H]
+#     e_     = sigmoid(z @ w2 + b2) * em         [E]
+#     mi[n]  = sum_{recv==n} e_ * h[send]        [V, D]
+#     mo[n]  = sum_{send==n} e_ * h[recv]        [V, D]
+#
+# runs as ONE kernel: the [E, H] intermediates (pre, z) and the [E]
+# scores live only in VMEM tile registers — at fullevent scale
+# (E=182k, H=64 bf16) that removes ~4 x 23 MB of HBM round-trips per
+# iteration plus three launch boundaries.  The backward is also one
+# launch: residuals are just the node tables (z, e_ recomputed per tile
+# — VPU work traded for the [E, H] residual traffic).
+
+
+def _iter_pair_kernel(oth_off_ref, seg_off_ref, oth_ref, seg_ref, em_ref,
+                      pa_ref, pb_ref, h_ref, w2_ref, b1_ref, b2_ref,
+                      mi_ref, mo_ref, *, w_oth, w_seg, tile_e, subtiles,
+                      precision, prebuilt):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        mi_ref[:] = jnp.zeros_like(mi_ref)
+        mo_ref[:] = jnp.zeros_like(mo_ref)
+
+    dt = h_ref.dtype
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        vo = pl.multiple_of(oth_off_ref[t], 16)
+        vs = pl.multiple_of(seg_off_ref[t], 16)
+        if prebuilt:
+            oh_o = oth_ref[sl, :].astype(dt)
+            oh_s = seg_ref[sl, :].astype(dt)
+        else:
+            oh_o = _oh(oth_ref[sl], vo, w_oth, dt)
+            oh_s = _oh(seg_ref[sl], vs, w_seg, dt)
+        em = em_ref[sl]                                         # [T, 1]
+        pa_rows = _dotf(oh_o, pa_ref[pl.ds(vo, w_oth), :], precision)
+        pb_rows = _dotf(oh_s, pb_ref[pl.ds(vs, w_seg), :], precision)
+        pre = (pa_rows + pb_rows) * em                          # [T, H]
+        z = jnp.tanh(pre + b1_ref[0:1, :])                      # f32
+        logit = (_dotf(z.astype(dt), w2_ref[:, :], precision)
+                 + b2_ref[0:1, 0:1])
+        e_ = jax.nn.sigmoid(logit) * em                         # [T, 1]
+        h_o = _dotf(oh_o, h_ref[pl.ds(vo, w_oth), :], precision)
+        h_s = _dotf(oh_s, h_ref[pl.ds(vs, w_seg), :], precision)
+        mi_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, (e_ * h_o).astype(dt), precision)
+        mo_ref[pl.ds(vo, w_oth), :] += _dott(
+            oh_o, (e_ * h_s).astype(dt), precision)
+
+
+def _iter_pair_bwd_kernel(oth_off_ref, seg_off_ref, oth_ref, seg_ref,
+                          em_ref, pa_ref, pb_ref, h_ref, w2_ref,
+                          w2row_ref, b1_ref, b2_ref, gmi_ref, gmo_ref,
+                          dh_ref, dpa_ref, dpb_ref, dw2_ref, db1_ref,
+                          db2_ref, *, w_oth, w_seg, tile_e, subtiles,
+                          precision, prebuilt):
+    """Full VJP of :func:`_iter_pair_kernel` in one launch.
+
+    Recomputes z / e_ per tile from the node tables (the residuals are
+    V-sized, never E-sized) and accumulates dh, dpa, dpb into node
+    tables plus dw2/db1/db2 into small reduction rows."""
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dpa_ref[:] = jnp.zeros_like(dpa_ref)
+        dpb_ref[:] = jnp.zeros_like(dpb_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    dt = h_ref.dtype
+    for k in range(subtiles):
+        t = g * subtiles + k
+        sl = slice(k * tile_e, (k + 1) * tile_e)
+        vo = pl.multiple_of(oth_off_ref[t], 16)
+        vs = pl.multiple_of(seg_off_ref[t], 16)
+        if prebuilt:
+            oh_o = oth_ref[sl, :].astype(dt)
+            oh_s = seg_ref[sl, :].astype(dt)
+        else:
+            oh_o = _oh(oth_ref[sl], vo, w_oth, dt)
+            oh_s = _oh(seg_ref[sl], vs, w_seg, dt)
+        em = em_ref[sl]
+        # --- recompute forward tile state
+        pa_rows = _dotf(oh_o, pa_ref[pl.ds(vo, w_oth), :], precision)
+        pb_rows = _dotf(oh_s, pb_ref[pl.ds(vs, w_seg), :], precision)
+        pre = (pa_rows + pb_rows) * em
+        z = jnp.tanh(pre + b1_ref[0:1, :])
+        logit = (_dotf(z.astype(dt), w2_ref[:, :], precision)
+                 + b2_ref[0:1, 0:1])
+        sig = jax.nn.sigmoid(logit)
+        e_ = sig * em
+        h_o = _dotf(oh_o, h_ref[pl.ds(vo, w_oth), :], precision)
+        h_s = _dotf(oh_s, h_ref[pl.ds(vs, w_seg), :], precision)
+        gmi_s = _dotf(oh_s, gmi_ref[pl.ds(vs, w_seg), :], precision)
+        gmo_o = _dotf(oh_o, gmo_ref[pl.ds(vo, w_oth), :], precision)
+        # --- dh through the aggregation (same as _agg_bwd_kernel)
+        dh_ref[pl.ds(vo, w_oth), :] += _dott(
+            oh_o, (e_ * gmi_s).astype(dt), precision)
+        dh_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, (e_ * gmo_o).astype(dt), precision)
+        # --- de_ -> dlogit -> dz -> dpre
+        de = jnp.sum(gmi_s * h_o + gmo_o * h_s, axis=1, keepdims=True)
+        dlogit = de * em * sig * (1.0 - sig)                    # [T, 1]
+        dz = dlogit * w2row_ref[0:1, :]                         # [T, H]
+        dpre = dz * (1.0 - z * z) * em                          # [T, H]
+        dpa_ref[pl.ds(vo, w_oth), :] += _dott(
+            oh_o, dpre.astype(dt), precision)
+        dpb_ref[pl.ds(vs, w_seg), :] += _dott(
+            oh_s, dpre.astype(dt), precision)
+        # --- parameter reductions (tiny rows, accumulated across tiles)
+        dw2_ref[0:1, :] += jnp.sum(z * dlogit, axis=0, keepdims=True)
+        db1_ref[0:1, :] += jnp.sum(dz * (1.0 - z * z), axis=0,
+                                   keepdims=True)
+        db2_ref[0:1, 0:1] += jnp.sum(dlogit, keepdims=True)[0:1, 0:1]
+
+
+def _iter_pair_call(pa, pb, h, em_sorted, w2, b1, b2, plan: EdgePlan,
+                    subtiles=None):
+    subtiles = DEFAULT_SUBTILES if subtiles is None else subtiles
+    e, t, d = plan.n_edge, plan.tile_e, h.shape[1]
+    hdim = pa.shape[1]
+    if plan.prebuilt:
+        id_specs = [("edge", plan.w_oth), ("edge", plan.w_seg)]
+        id_ops = (plan.oh_oth, plan.oh_seg)
+    else:
+        id_specs = ["edge", "edge"]
+        id_ops = (plan.sorted_oth[:, None], plan.sorted_seg[:, None])
+    subtiles, grid_spec = _pair_grid(
+        plan, subtiles, 2, id_specs + ["edge"] + ["tab"] * 6,
+        ["tab", "tab"])
+    mi_tab, mo_tab = pl.pallas_call(
+        functools.partial(_iter_pair_kernel, w_oth=plan.w_oth,
+                          w_seg=plan.w_seg, tile_e=t, subtiles=subtiles,
+                          precision=_precision_for(h.dtype),
+                          prebuilt=plan.prebuilt),
+        grid_spec=grid_spec,
+        compiler_params=_VMEM_LIMIT,
+        out_shape=[jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
+                   jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * e * (plan.w_oth + plan.w_seg) * (d + hdim),
+            bytes_accessed=(5 * plan.table_rows * d + 4 * e) * 4,
+            transcendentals=2 * e * hdim,
+        ),
+    )(plan.oth_win_off, plan.seg_win_off, *id_ops, em_sorted[:, None],
+      _pad_table(pa, plan), _pad_table(pb, plan), _pad_table(h, plan),
+      w2[:, None], b1[None, :], b2.reshape(1, 1))
+    return (mi_tab[: plan.n_node].astype(h.dtype),
+            mo_tab[: plan.n_node].astype(h.dtype))
+
+
+def _iter_pair_bwd_call(pa, pb, h, em_sorted, w2, b1, b2, g_mi, g_mo,
+                        plan: EdgePlan, subtiles=None):
+    subtiles = DEFAULT_SUBTILES if subtiles is None else subtiles
+    e, t, d = plan.n_edge, plan.tile_e, h.shape[1]
+    hdim = pa.shape[1]
+    if plan.prebuilt:
+        id_specs = [("edge", plan.w_oth), ("edge", plan.w_seg)]
+        id_ops = (plan.oh_oth, plan.oh_seg)
+    else:
+        id_specs = ["edge", "edge"]
+        id_ops = (plan.sorted_oth[:, None], plan.sorted_seg[:, None])
+    subtiles, grid_spec = _pair_grid(
+        plan, subtiles, 2, id_specs + ["edge"] + ["tab"] * 9,
+        ["tab"] * 3 + ["tab"] * 3)
+    dt = h.dtype
+    outs = pl.pallas_call(
+        functools.partial(_iter_pair_bwd_kernel, w_oth=plan.w_oth,
+                          w_seg=plan.w_seg, tile_e=t, subtiles=subtiles,
+                          precision=_precision_for(dt),
+                          prebuilt=plan.prebuilt),
+        grid_spec=grid_spec,
+        compiler_params=_VMEM_LIMIT,
+        out_shape=[
+            jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((plan.table_rows, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((plan.table_rows, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((8, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((8, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((8, 8), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * e * (plan.w_oth + plan.w_seg) * (d + hdim),
+            bytes_accessed=(9 * plan.table_rows * d + 4 * e) * 4,
+            transcendentals=2 * e * hdim,
+        ),
+    )(plan.oth_win_off, plan.seg_win_off, *id_ops, em_sorted[:, None],
+      _pad_table(pa, plan), _pad_table(pb, plan), _pad_table(h, plan),
+      w2[:, None], w2[None, :], b1[None, :], b2.reshape(1, 1),
+      _pad_table(g_mi.astype(dt), plan), _pad_table(g_mo.astype(dt), plan))
+    dh_tab, dpa_tab, dpb_tab, dw2_row, db1_row, db2_row = outs
+    return (dh_tab[: plan.n_node], dpa_tab[: plan.n_node],
+            dpb_tab[: plan.n_node], dw2_row[0], db1_row[0], db2_row[0, 0])
+
+
+@jax.custom_vjp
+def iteration_pair(pa: jax.Array, pb: jax.Array, h: jax.Array,
+                   em_sorted: jax.Array, w2: jax.Array, b1: jax.Array,
+                   b2: jax.Array, plans: AggPlans):
+    """Whole-iteration fusion: edge MLP scoring + sigmoid + both weighted
+    aggregations in ONE kernel launch (see section comment above).
+
+    ``pa``/``pb``: [V, H] endpoint projections (``h @ W1a`` / ``h @ W1b``
+    with any pruning masks already applied); ``em_sorted``: [E] edge
+    mask permuted into the recv plan's sorted order
+    (:func:`sort_edge_weights`); ``w2``/``b1``/``b2``: second edge-MLP
+    layer.  Returns (mi, mo) [V, D] in ``h.dtype``.
+    """
+    return _iter_pair_call(pa, pb, h, em_sorted, w2, b1, b2, plans.recv)
+
+
+def _ip_fwd(pa, pb, h, em_sorted, w2, b1, b2, plans):
+    out = iteration_pair(pa, pb, h, em_sorted, w2, b1, b2, plans)
+    return out, (pa, pb, h, em_sorted, w2, b1, b2, plans)
+
+
+def _ip_bwd(res, g):
+    pa, pb, h, em_sorted, w2, b1, b2, plans = res
+    g_mi, g_mo = g
+    dh, dpa, dpb, dw2, db1, db2 = _iter_pair_bwd_call(
+        pa, pb, h, em_sorted, w2, b1, b2, g_mi, g_mo, plans.recv)
+    return (dpa.astype(pa.dtype), dpb.astype(pb.dtype), dh.astype(h.dtype),
+            jnp.zeros_like(em_sorted), dw2.astype(w2.dtype),
+            db1.astype(b1.dtype),
+            jnp.reshape(db2, jnp.shape(b2)).astype(b2.dtype), None)
+
+
+iteration_pair.defvjp(_ip_fwd, _ip_bwd)
+
+
+def sort_edge_weights(w: jax.Array, plan: EdgePlan) -> jax.Array:
+    """[E] edge weights/mask permuted into plan order (pad slots -> 0)."""
+    return _sorted_w(w, plan)
+
+
+def iteration_pair_reference(pa, pb, h, em, w2, b1, b2, senders,
+                             receivers, n_node, activation=jnp.tanh):
+    """jnp oracle of :func:`iteration_pair` (EDGE-order mask)."""
+    pre = (jnp.take(pa, senders, axis=0)
+           + jnp.take(pb, receivers, axis=0)) * em[:, None]
+    z = activation(pre + b1)
+    e_ = jax.nn.sigmoid(z @ w2.reshape(-1) + jnp.reshape(b2, ())) * em
+    return aggregate_pair_reference(h, e_, senders, receivers, n_node)
+
+
 def spmm(h: jax.Array, w: jax.Array, plan: EdgePlan,
          plan_t: EdgePlan) -> jax.Array:
     """Single-direction differentiable SpMM (``plan_t`` = transpose plan)."""

@@ -458,3 +458,80 @@ def test_prebuilt_plans_in_model_path():
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("pre", [None, "int8"])
+def test_iteration_pair_matches_oracle_with_grads(pre):
+    """Whole-iteration fusion (edge MLP -> sigmoid -> both weighted
+    aggregations in one kernel): parity + grads for every input incl.
+    the edge-MLP parameters, with masked (pad) edges."""
+    rng = np.random.default_rng(11)
+    v, e, d, hdim = 80, 192, 10, 12
+    s = rng.integers(0, v, e).astype(np.int32)
+    r = rng.integers(0, v, e).astype(np.int32)
+    h = jnp.asarray(rng.standard_normal((v, d)).astype(np.float32))
+    pa = jnp.asarray(rng.standard_normal((v, hdim)).astype(np.float32))
+    pb = jnp.asarray(rng.standard_normal((v, hdim)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal(hdim).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(hdim).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(1).astype(np.float32))
+    em = np.ones(e, np.float32)
+    em[-20:] = 0
+    em = jnp.asarray(em)
+    sj, rj = jnp.asarray(s), jnp.asarray(r)
+    plans = sp.build_agg_plans(s, r, v, tile_e=32, precompute=pre)
+    ems = sp.sort_edge_weights(em, plans.recv)
+    with pltpu.force_tpu_interpret_mode():
+        mi, mo = sp.iteration_pair(pa, pb, h, ems, w2, b1, b2, plans)
+    emi, emo = sp.iteration_pair_reference(pa, pb, h, em, w2, b1, b2,
+                                           sj, rj, v)
+    np.testing.assert_allclose(np.asarray(mi), np.asarray(emi),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(emo),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.stack(fn(*a)).astype(jnp.float32)
+                                  ** 2)
+
+    f = loss(lambda *a: sp.iteration_pair(a[0], a[1], a[2], ems, a[3],
+                                          a[4], a[5], plans))
+    fr = loss(lambda *a: sp.iteration_pair_reference(
+        a[0], a[1], a[2], em, a[3], a[4], a[5], sj, rj, v))
+    with pltpu.force_tpu_interpret_mode():
+        gs = jax.grad(f, argnums=tuple(range(6)))(pa, pb, h, w2, b1, b2)
+    gr = jax.grad(fr, argnums=tuple(range(6)))(pa, pb, h, w2, b1, b2)
+    for i, (a, b) in enumerate(zip(gs, gr)):
+        assert np.asarray(a).shape == np.asarray(b).shape, i
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-4, err_msg=f"arg {i}")
+
+
+def test_fused_iteration_model_path_matches_unfused():
+    """segment_classifier fused_iteration=True must reproduce the unfused
+    pallas path (and hence the sparse oracle), forward and grads."""
+    from gnn_fpga_tpu.models import mpnn
+
+    g = _packed_graph(seed=5)
+    cfg_f = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=8,
+                                         n_iters=2, aggregation="pallas",
+                                         fused_iteration=True)
+    cfg_u = dataclasses_replace(cfg_f, fused_iteration=False)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(3), cfg_f)
+
+    def loss(params, cfg):
+        logits = mpnn.segment_classifier_logits(params, g, cfg)
+        per = jnp.maximum(logits, 0) - logits * g.y + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return (per * g.edge_mask).sum() / g.edge_mask.sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        lf = mpnn.segment_classifier_logits(params, g, cfg_f)
+        lu = mpnn.segment_classifier_logits(params, g, cfg_u)
+        gf = jax.grad(loss)(params, cfg_f)
+        gu = jax.grad(loss)(params, cfg_u)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
