@@ -48,6 +48,22 @@ probe_spmm.py, 2026-08-20, tile=256 sub=8; "pre" = prebuilt int8):
     16384  131072  128  pair fwd       3066 us     520 us    483 us   6.4x
     16384  131072  128  pair fwd+bwd   4875 us    1972 us   1835 us   2.66x
 
+Whole-iteration fusion (:func:`iteration_pair` — the edge-MLP scoring
+chain AND both aggregations in one launch; benchmarks/probe_iter.py,
+f32, same graphs, full edge+node-dim configs):
+
+    V      D    op                  XLA chain  unfused    fused    x
+    4096   64   iter fwd             818 us     717 us    504 us   1.62x
+    4096   64   iter fwd+bwd        1903 us    1846 us   1098 us   1.73x
+    16384  128  iter fwd            3005 us    2580 us   1521 us   1.98x
+    16384  128  iter fwd+bwd        7700 us    6825 us   3802 us   2.03x
+
+("unfused" = XLA edge MLP + fused aggregate_pair; "fused" rows use
+prebuilt int8 one-hots, which win by a further ~1-2% over in-kernel iota
+builds at both sizes here.)  The [E, H] pre-activation and [E] scores
+never leave VMEM; the VJP recomputes them per tile from V-sized
+residuals, so backward HBM traffic is node tables only.
+
 (At 4k the whole working set is small enough that the in-kernel iota
 builds beat streaming prebuilt operands; at 16k prebuilt wins — callers
 pick via ``attach_plans(precompute=...)``.)  History: the round-3 design
