@@ -64,6 +64,16 @@ builds at both sizes here.)  The [E, H] pre-activation and [E] scores
 never leave VMEM; the VJP recomputes them per tile from V-sized
 residuals, so backward HBM traffic is node tables only.
 
+Negative result (measured 2026-08-20, kept for the record): a
+"wide-table" variant — lane-concatenating [pa | h] / [pb | h | gmi]
+so each one-hot issues ONE wide gather matmul instead of 2-3, and the
+backward scatters [dh | dpre] in one transpose matmul per one-hot — ran
+~10% SLOWER at both sizes (fwd 1684 vs 1521 us, fwd+bwd 4219 vs 3802 us
+at 16k).  The XLA-side concats materialize [V, 3*128] tables in HBM
+every call and duplicate the h table per side, costing more bandwidth
+than the halved matmul-issue count saves.  Matmul count is not the
+bottleneck at these shapes; table bytes are.
+
 (At 4k the whole working set is small enough that the in-kernel iota
 builds beat streaming prebuilt operands; at 16k prebuilt wins — callers
 pick via ``attach_plans(precompute=...)``.)  History: the round-3 design
