@@ -567,12 +567,29 @@ def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
-    def body(h, per_iter):
-        ep, np_ = per_iter
-        e = jax.nn.sigmoid(edge_logits(ep, h, graph, None, act))
-        h = node_network(np_, h, e, graph, None, act, use_pallas=use_pallas)
-        h = jnp.concatenate([h, x], axis=-1)
-        return h, None
+    if use_pallas and cfg.fused_iteration and act is jnp.tanh:
+        from gnn_fpga_tpu.ops.pallas.spmm import (iteration_pair,
+                                                  sort_edge_weights)
+        em_sorted = sort_edge_weights(
+            graph.edge_mask.astype(jnp.float32), graph.plans.recv)
+
+        def body(h, per_iter):
+            ep, np_ = per_iter
+            w1, d = ep["l1"]["w"], h.shape[-1]
+            mi, mo = iteration_pair(
+                h @ w1[:d], h @ w1[d:], h, em_sorted, ep["l2"]["w"][:, 0],
+                ep["l1"]["b"], ep["l2"]["b"], graph.plans)
+            h = node_mlp(np_, mi, mo, h, None, act)
+            h = jnp.concatenate([h, x], axis=-1)
+            return h, None
+    else:
+        def body(h, per_iter):
+            ep, np_ = per_iter
+            e = jax.nn.sigmoid(edge_logits(ep, h, graph, None, act))
+            h = node_network(np_, h, e, graph, None, act,
+                            use_pallas=use_pallas)
+            h = jnp.concatenate([h, x], axis=-1)
+            return h, None
 
     h, _ = jax.lax.scan(body, h, (params["edge_stack"], params["node_stack"]),
                         unroll=cfg.unroll)

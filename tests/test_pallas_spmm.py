@@ -535,3 +535,35 @@ def test_fused_iteration_model_path_matches_unfused():
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_fused_iteration_unshared_matches_unfused():
+    """The unshared-weights variant's fused_iteration path must reproduce
+    its unfused pallas path, forward and grads (per-iteration params are
+    scanned through the fused kernel)."""
+    from gnn_fpga_tpu.models import mpnn
+
+    g = _packed_graph(seed=7)
+    cfg_f = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=8,
+                                         n_iters=2, aggregation="pallas",
+                                         fused_iteration=True)
+    cfg_u = dataclasses_replace(cfg_f, fused_iteration=False)
+    params = mpnn.init_segment_classifier_unshared(jax.random.PRNGKey(9),
+                                                   cfg_f)
+
+    def loss(params, cfg):
+        logits = mpnn.segment_classifier_unshared_logits(params, g, cfg)
+        per = jnp.maximum(logits, 0) - logits * g.y + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return (per * g.edge_mask).sum() / g.edge_mask.sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        lf = mpnn.segment_classifier_unshared_logits(params, g, cfg_f)
+        lu = mpnn.segment_classifier_unshared_logits(params, g, cfg_u)
+        gf = jax.grad(loss)(params, cfg_f)
+        gu = jax.grad(loss)(params, cfg_u)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
