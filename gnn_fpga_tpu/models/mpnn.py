@@ -148,6 +148,32 @@ def node_mlp(params, mi, mo, h, masks: Masks = None, activation=jnp.tanh):
     return activation(_linear(params["l2"], z, m2))
 
 
+def _fused_iter_body(graph, x, act, masks_e, masks_n):
+    """Scan-body factory for whole-iteration Pallas fusion: edge-MLP
+    scoring + sigmoid + both weighted aggregations run as ONE kernel
+    (ops.pallas.spmm.iteration_pair; requires ``graph.plans`` and tanh).
+    Returned ``body(h, edge_params, node_params)`` computes one
+    message-passing iteration (`model.py:148-154`)."""
+    from gnn_fpga_tpu.ops.pallas.spmm import (iteration_pair,
+                                              sort_edge_weights)
+    em_sorted = sort_edge_weights(
+        graph.edge_mask.astype(jnp.float32), graph.plans.recv)
+    m1 = None if masks_e is None else masks_e["l1"]
+    m2 = None if masks_e is None else masks_e["l2"]
+
+    def body(h, ep, np_):
+        w1 = ep["l1"]["w"] if m1 is None else ep["l1"]["w"] * m1
+        w2 = ep["l2"]["w"] if m2 is None else ep["l2"]["w"] * m2
+        d = h.shape[-1]
+        mi, mo = iteration_pair(
+            h @ w1[:d], h @ w1[d:], h, em_sorted, w2[:, 0],
+            ep["l1"]["b"], ep["l2"]["b"], graph.plans)
+        h = node_mlp(np_, mi, mo, h, masks_n, act)
+        return jnp.concatenate([h, x], axis=-1)
+
+    return body
+
+
 def node_network(
     params, h, e, graph: Graph, masks: Masks = None, activation=jnp.tanh,
     use_pallas: bool = False,
@@ -451,24 +477,10 @@ def segment_classifier_logits(
 
     fused = (use_pallas and cfg.fused_iteration and act is jnp.tanh)
     if fused:
-        from gnn_fpga_tpu.ops.pallas.spmm import (iteration_pair,
-                                                  sort_edge_weights)
-        em_sorted = sort_edge_weights(
-            graph.edge_mask.astype(jnp.float32), graph.plans.recv)
-        m1 = None if masks_e is None else masks_e["l1"]
-        m2 = None if masks_e is None else masks_e["l2"]
+        fb = _fused_iter_body(graph, x, act, masks_e, masks_n)
 
         def body(h, _):
-            ep = params["edge"]
-            w1 = ep["l1"]["w"] if m1 is None else ep["l1"]["w"] * m1
-            w2 = ep["l2"]["w"] if m2 is None else ep["l2"]["w"] * m2
-            d = h.shape[-1]
-            mi, mo = iteration_pair(
-                h @ w1[:d], h @ w1[d:], h, em_sorted, w2[:, 0],
-                ep["l1"]["b"], ep["l2"]["b"], graph.plans)
-            h = node_mlp(params["node"], mi, mo, h, masks_n, act)
-            h = jnp.concatenate([h, x], axis=-1)
-            return h, None
+            return fb(h, params["edge"], params["node"]), None
     else:
         def body(h, _):
             e = jax.nn.sigmoid(
@@ -568,20 +580,11 @@ def segment_classifier_unshared_logits(params, graph, cfg, masks=None):
     h = jnp.concatenate([h, x], axis=-1)
 
     if use_pallas and cfg.fused_iteration and act is jnp.tanh:
-        from gnn_fpga_tpu.ops.pallas.spmm import (iteration_pair,
-                                                  sort_edge_weights)
-        em_sorted = sort_edge_weights(
-            graph.edge_mask.astype(jnp.float32), graph.plans.recv)
+        fb = _fused_iter_body(graph, x, act, None, None)
 
         def body(h, per_iter):
             ep, np_ = per_iter
-            w1, d = ep["l1"]["w"], h.shape[-1]
-            mi, mo = iteration_pair(
-                h @ w1[:d], h @ w1[d:], h, em_sorted, ep["l2"]["w"][:, 0],
-                ep["l1"]["b"], ep["l2"]["b"], graph.plans)
-            h = node_mlp(np_, mi, mo, h, None, act)
-            h = jnp.concatenate([h, x], axis=-1)
-            return h, None
+            return fb(h, ep, np_), None
     else:
         def body(h, per_iter):
             ep, np_ = per_iter
@@ -619,6 +622,8 @@ class NodeClassifierConfig:
     compute_dtype: Any = None
     # see SegmentClassifierConfig.remat
     remat: bool = False
+    # see SegmentClassifierConfig.fused_iteration
+    fused_iteration: bool = True
 
 
 def init_node_classifier(key, cfg: NodeClassifierConfig) -> Params:
@@ -651,12 +656,19 @@ def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None)
     h = act(_linear(params["input"], x))
     h = jnp.concatenate([h, x], axis=-1)
 
-    def body(h, _):
-        e = jax.nn.sigmoid(edge_logits(params["edge"], h, graph, masks_e, act))
-        h = node_network(params["node"], h, e, graph, masks_n, act,
-                         use_pallas=use_pallas)
-        h = jnp.concatenate([h, x], axis=-1)
-        return h, None
+    if use_pallas and cfg.fused_iteration and act is jnp.tanh:
+        fb = _fused_iter_body(graph, x, act, masks_e, masks_n)
+
+        def body(h, _):
+            return fb(h, params["edge"], params["node"]), None
+    else:
+        def body(h, _):
+            e = jax.nn.sigmoid(
+                edge_logits(params["edge"], h, graph, masks_e, act))
+            h = node_network(params["node"], h, e, graph, masks_n, act,
+                             use_pallas=use_pallas)
+            h = jnp.concatenate([h, x], axis=-1)
+            return h, None
 
     if cfg.remat:
         body = jax.checkpoint(body)

@@ -567,3 +567,35 @@ def test_fused_iteration_unshared_matches_unfused():
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_fused_iteration_node_classifier_matches_unfused():
+    """NodeClassifier's fused_iteration path must reproduce its unfused
+    pallas path (node-target head), forward and grads."""
+    from gnn_fpga_tpu.models import mpnn
+
+    g = _packed_graph(seed=13)
+    ny = (np.arange(g.x.shape[0]) % 2).astype(np.float32)
+    g = g.replace(node_y=jnp.asarray(ny))
+    cfg_f = mpnn.NodeClassifierConfig(input_dim=3, hidden_dim=8,
+                                      n_iters=2, aggregation="pallas",
+                                      fused_iteration=True)
+    cfg_u = dataclasses_replace(cfg_f, fused_iteration=False)
+    params = mpnn.init_node_classifier(jax.random.PRNGKey(21), cfg_f)
+
+    def loss(params, cfg):
+        logits = mpnn.node_classifier_logits(params, g, cfg)
+        per = jnp.maximum(logits, 0) - logits * g.node_y + jnp.log1p(
+            jnp.exp(-jnp.abs(logits)))
+        return (per * g.node_mask).sum() / g.node_mask.sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        lf = mpnn.node_classifier_logits(params, g, cfg_f)
+        lu = mpnn.node_classifier_logits(params, g, cfg_u)
+        gf = jax.grad(loss)(params, cfg_f)
+        gu = jax.grad(loss)(params, cfg_u)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(lu),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
