@@ -352,23 +352,50 @@ def sharded_mpnn_logits(
         return _linear(edge_p["l2"], z, m2)[..., 0]
 
     use_plans = halo and shard.plans is not None
+    use_fused = (use_plans and act is jnp.tanh
+                 and getattr(cfg, "fused_iteration", False))
+    if use_fused:
+        from gnn_fpga_tpu.ops.pallas.spmm import (iteration_pair,
+                                                  sort_edge_weights)
+        em_sorted = sort_edge_weights(
+            shard.edge_mask.astype(jnp.float32), shard.plans.recv)
 
     def body(h_local, per_iter):
         edge_p, node_p = per_iter
         h_ext = extend(h_local)
-        e = jax.nn.sigmoid(edge_logits(edge_p, h_local, h_ext))
-        if use_plans:
+        if use_fused:
+            # whole-iteration fusion per shard: edge-MLP scoring +
+            # sigmoid + both weighted aggregations over the local+halo
+            # extended table in ONE kernel (the [E_local, H] edge
+            # intermediates never leave VMEM); mi lands on owned rows
+            # (receivers are local), mo partials go back to owners
+            m1 = None if masks_e is None else masks_e["l1"]
+            m2 = None if masks_e is None else masks_e["l2"]
+            w1 = (edge_p["l1"]["w"] if m1 is None
+                  else edge_p["l1"]["w"] * m1)
+            w2 = (edge_p["l2"]["w"] if m2 is None
+                  else edge_p["l2"]["w"] * m2)
+            d = h_ext.shape[-1]
+            mi_ext, mo_partial = iteration_pair(
+                h_ext @ w1[:d], h_ext @ w1[d:], h_ext, em_sorted,
+                w2[:, 0], edge_p["l1"]["b"], edge_p["l2"]["b"],
+                shard.plans)
+            mi = mi_ext[:n_local]
+            mo = reduce_ext(mo_partial)
+        elif use_plans:
             # fused Pallas aggregation over the extended table: seg=recv
             # gives mi on owned rows directly (receivers < n_local) and
             # mo partials over extended sender slots in one launch
             # (SURVEY §7 step 7: kernels x partitioning composed)
             from gnn_fpga_tpu.ops.pallas.spmm import aggregate_pair
+            e = jax.nn.sigmoid(edge_logits(edge_p, h_local, h_ext))
             mi_ext, mo_partial = aggregate_pair(
                 h_ext, e * shard.edge_mask.astype(h_ext.dtype),
                 shard.plans)
             mi = mi_ext[:n_local]
             mo = reduce_ext(mo_partial)
         else:
+            e = jax.nn.sigmoid(edge_logits(edge_p, h_local, h_ext))
             # --- node network aggregation (`model.py:113-119`);
             # receiver gather stays on the local table (overlappable)
             bo = h_ext[senders] * em
