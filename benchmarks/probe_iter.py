@@ -64,15 +64,24 @@ def main():
                 return mi + mo
             return fused
 
+        # Cast the per-edge operands of the XLA-side variants to the
+        # requested dtype so all variants stream the same-width [E, H]
+        # intermediates (the kernel accumulates in f32 regardless, as do
+        # XLA matmuls via preferred_element_type) — otherwise bf16 runs
+        # silently promote the xla/unfused chains to f32 and the
+        # comparison is not apples-to-apples (ADVICE r4).
+        em_d, b1_d = em.astype(dt), b1.astype(dt)
+        w2_d, b2_d = w2.astype(dt), b2.astype(dt)
+
         def xla(pa, pb, h):
-            mi, mo = sp.iteration_pair_reference(pa, pb, h, em, w2, b1, b2,
-                                                 sj, rj, v)
+            mi, mo = sp.iteration_pair_reference(pa, pb, h, em_d, w2_d,
+                                                 b1_d, b2_d, sj, rj, v)
             return mi + mo
 
         def unfused(pa, pb, h):
-            pre = (jnp.take(pa, sj, 0) + jnp.take(pb, rj, 0)) * em[:, None]
-            z = jnp.tanh(pre + b1)
-            e_ = jax.nn.sigmoid(z @ w2 + b2[0]) * em
+            pre = (jnp.take(pa, sj, 0) + jnp.take(pb, rj, 0)) * em_d[:, None]
+            z = jnp.tanh(pre + b1_d)
+            e_ = jax.nn.sigmoid(z @ w2_d + b2_d[0]) * em_d
             mi, mo = sp.aggregate_pair(h, e_, plans)
             return mi + mo
 

@@ -643,6 +643,17 @@ def node_classifier_logits(params, graph, cfg: NodeClassifierConfig, masks=None)
     act = cfg.activation
     masks_e = None if masks is None else masks.get("edge")
     masks_n = None if masks is None else masks.get("node")
+    if _use_blocked(cfg, graph):
+        # blocked (layered) incidence path — the candidate graphs of the
+        # hit-classifier workload (`MPNN_HitClassifier.ipynb:cell12-15`)
+        # are layered too; the node head reads the global node table,
+        # which the blocked body maintains unchanged.
+        params, x, g, ri, ro, nb, h = _blocked_prelude(params, graph, cfg, act)
+        body = _blocked_mp_body(g, ri, ro, x, masks_e, masks_n, act, nb)
+        h, _ = jax.lax.scan(
+            lambda h, _: body(h, (params["edge"], params["node"])),
+            h, None, length=cfg.n_iters, unroll=cfg.unroll)
+        return _linear(params["output"], h)[..., 0].astype(jnp.float32)
     if _use_dense(cfg, graph):
         params, x, ri, ro, h = _dense_prelude(params, graph, cfg, act)
         body = _dense_mp_body(ri, ro, x, masks_e, masks_n, act)

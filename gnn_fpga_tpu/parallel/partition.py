@@ -297,13 +297,16 @@ def sharded_mpnn_logits(
     if halo:
         senders = shard.senders_ext
 
-        def extend(h):
-            """Local table + pulled halo rows (one all_to_all)."""
+        def exchange(h):
+            """Pull this shard's halo rows (one all_to_all)."""
             send = jnp.take(h, shard.send_idx, axis=0)
-            recv = jax.lax.all_to_all(send, mesh_lib.GRAPH_AXIS,
+            return jax.lax.all_to_all(send, mesh_lib.GRAPH_AXIS,
                                       split_axis=0, concat_axis=0,
                                       tiled=True)
-            return jnp.concatenate([h, recv], axis=0)
+
+        def extend(h):
+            """Local table + pulled halo rows."""
+            return jnp.concatenate([h, exchange(h)], axis=0)
 
         def reduce_ext(partials):
             """Return halo partials to their owners and add in."""
@@ -362,27 +365,47 @@ def sharded_mpnn_logits(
 
     def body(h_local, per_iter):
         edge_p, node_p = per_iter
-        h_ext = extend(h_local)
         if use_fused:
             # whole-iteration fusion per shard: edge-MLP scoring +
             # sigmoid + both weighted aggregations over the local+halo
             # extended table in ONE kernel (the [E_local, H] edge
             # intermediates never leave VMEM); mi lands on owned rows
-            # (receivers are local), mo partials go back to owners
+            # (receivers are local), mo partials go back to owners.
+            #
+            # Overlap structure (SURVEY §5 "all-to-all overlapped with
+            # local work"): both V-sized projection matmuls read ONLY
+            # owned rows, so they carry no data dependency on the halo
+            # all_to_all — XLA's latency-hiding scheduler is free to run
+            # them while the collective is in flight.  Only the halo
+            # rows' pa tail ([P*S, D] @ [D, H], the small matmul) waits.
+            # pb is gathered by RECEIVERS, which are local by
+            # construction (edges are receiver-owned), so its halo rows
+            # are never touched: zero-padding is exact and skips
+            # computing the projection over rows nothing gathers.
             m1 = None if masks_e is None else masks_e["l1"]
             m2 = None if masks_e is None else masks_e["l2"]
             w1 = (edge_p["l1"]["w"] if m1 is None
                   else edge_p["l1"]["w"] * m1)
             w2 = (edge_p["l2"]["w"] if m2 is None
                   else edge_p["l2"]["w"] * m2)
-            d = h_ext.shape[-1]
+            d = h_local.shape[-1]
+            halo_rows = exchange(h_local)
+            pa = jnp.concatenate([h_local @ w1[:d], halo_rows @ w1[:d]],
+                                 axis=0)
+            pb_local = h_local @ w1[d:]
+            pb = jnp.concatenate(
+                [pb_local,
+                 jnp.zeros((n_ext - n_local, pb_local.shape[-1]),
+                           pb_local.dtype)], axis=0)
+            h_ext = jnp.concatenate([h_local, halo_rows], axis=0)
             mi_ext, mo_partial = iteration_pair(
-                h_ext @ w1[:d], h_ext @ w1[d:], h_ext, em_sorted,
+                pa, pb, h_ext, em_sorted,
                 w2[:, 0], edge_p["l1"]["b"], edge_p["l2"]["b"],
                 shard.plans)
             mi = mi_ext[:n_local]
             mo = reduce_ext(mo_partial)
         elif use_plans:
+            h_ext = extend(h_local)
             # fused Pallas aggregation over the extended table: seg=recv
             # gives mi on owned rows directly (receivers < n_local) and
             # mo partials over extended sender slots in one launch
@@ -395,6 +418,7 @@ def sharded_mpnn_logits(
             mi = mi_ext[:n_local]
             mo = reduce_ext(mo_partial)
         else:
+            h_ext = extend(h_local)
             e = jax.nn.sigmoid(edge_logits(edge_p, h_local, h_ext))
             # --- node network aggregation (`model.py:113-119`);
             # receiver gather stays on the local table (overlappable)

@@ -162,3 +162,40 @@ def test_blocked_rejects_non_layered():
     bad = g.replace(receivers=np.asarray(g.senders))  # layer l -> layer l
     with pytest.raises(ValueError, match="layered"):
         blocked.attach_blocks_layered(bad, off)
+
+
+def test_node_classifier_blocked_parity():
+    """NodeClassifier routes through the blocked path (hit-classifier
+    candidate graphs are layered too, `MPNN_HitClassifier.ipynb:cell12`)
+    and must reproduce the sparse path's node logits and gradients."""
+    rng = np.random.default_rng(8)
+    g, off = _layered_graph(rng, [5, 8, 6, 7], k=3, n_feat=4)
+    g = g.replace(node_y=rng.integers(0, 2, size=g.n_node).astype(np.float32))
+    gb = blocked.attach_blocks_layered(g, off, group=2)
+    cfg_b = mpnn.NodeClassifierConfig(input_dim=4, hidden_dim=8, n_iters=3,
+                                      aggregation="blocked")
+    cfg_s = mpnn.NodeClassifierConfig(input_dim=4, hidden_dim=8, n_iters=3,
+                                      aggregation="sparse")
+    params = mpnn.init_node_classifier(jax.random.PRNGKey(8), cfg_b)
+    out = np.asarray(mpnn.node_classifier_logits(params, gb, cfg_b))
+    ref = np.asarray(mpnn.node_classifier_logits(
+        params, gb.replace(blocks=None), cfg_s))
+    np.testing.assert_allclose(out, ref, **TOL)
+
+    # auto-routing picks blocked when blocks are attached
+    cfg_a = mpnn.NodeClassifierConfig(input_dim=4, hidden_dim=8, n_iters=3,
+                                      aggregation="auto")
+    out_auto = np.asarray(mpnn.node_classifier_logits(params, gb, cfg_a))
+    np.testing.assert_allclose(out_auto, out, rtol=0, atol=0)
+
+    def loss(p, gg, cfg):
+        logits = mpnn.node_classifier_logits(p, gg, cfg)
+        return jnp.mean((logits - gg.node_y) ** 2)
+
+    gb_grad = jax.grad(loss)(params, jax.tree.map(jnp.asarray, gb), cfg_b)
+    gs_grad = jax.grad(loss)(
+        params, jax.tree.map(jnp.asarray, gb.replace(blocks=None)), cfg_s)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6),
+        gb_grad, gs_grad)

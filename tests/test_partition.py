@@ -187,3 +187,45 @@ def test_sharded_train_step_with_plans_learns():
             params, opt_state, loss = step(params, opt_state, pg)
             losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.75, losses[:3] + losses[-3:]
+
+
+def test_sharded_fused_iteration_matches_unfused_grads():
+    """Fused vs unfused sharded paths: logits AND parameter gradients
+    must agree (the fused path restructures the halo exchange for
+    overlap — pb built from local rows only, zero-padded halo — which
+    must be gradient-exact, ADVICE r4)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = _one_big_graph(n_layers=6, n_tracks=4, seed=3)
+    cfg_f = mpnn.SegmentClassifierConfig(input_dim=2, hidden_dim=8,
+                                         n_iters=2, fused_iteration=True)
+    cfg_u = dataclasses.replace(cfg_f, fused_iteration=False)
+    params = mpnn.init_segment_classifier(jax.random.PRNGKey(3), cfg_f)
+    mesh = mesh_lib.make_mesh((2,), (mesh_lib.GRAPH_AXIS,),
+                              devices=jax.devices()[:2])
+    pg = jax.tree.map(jnp.asarray,
+                      partition.partition_graph(g, 2, plans=True,
+                                                tile_e=32))
+    outs = {}
+    with pltpu.force_tpu_interpret_mode():
+        for name, cfg in (("fused", cfg_f), ("unfused", cfg_u)):
+            fwd = partition.make_sharded_forward(mesh, cfg)
+            logits = np.asarray(fwd(params, pg))
+            optimizer = optax.adam(1e-3)
+            step = partition.make_sharded_train_step(optimizer, mesh, cfg)
+
+            # one step from identical state: grads agree iff params move
+            # identically under the same optimizer
+            new_params, _, loss = step(params, optimizer.init(params), pg)
+            outs[name] = (logits, float(loss), new_params)
+
+    np.testing.assert_allclose(outs["fused"][0], outs["unfused"][0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(outs["fused"][1], outs["unfused"][1],
+                               rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5),
+        outs["fused"][2], outs["unfused"][2])
