@@ -67,11 +67,15 @@ def process_event(prefix: str, args) -> List[Optional[Graph]]:
         phi_slope_outer_max=args.phi_slope_outer_max,
         z0_max=args.z0_max)
     layer_pairs = doublets.adjacent_layer_pairs(10)
+    # nodes sorted by layer + per-node layer array saved into the NPZ:
+    # what the train CLI needs to route loaded graphs onto the blocked
+    # MXU path (ops/blocked.py)
     return [doublets.construct_graph(
                 sector, layer_pairs, cuts=cuts,
                 feature_names=feature_names, feature_scale=feature_scale,
                 max_tracks=args.n_tracks,
-                no_missing_hits=args.no_missing_hits)
+                no_missing_hits=args.no_missing_hits,
+                sort_by_layer=True, return_layers=True)
             for sector in sectors]
 
 
@@ -110,7 +114,8 @@ def main(argv=None):
             per_event = pool.map(worker, prefixes)
     else:
         per_event = [worker(p) for p in prefixes]
-    graphs = [g for gs in per_event for g in gs if g is not None]
+    pairs = [gl for gls in per_event for gl in gls if gl[0] is not None]
+    graphs = [g for g, _ in pairs]
 
     summary = graphs_summary(graphs)
     logging.info("Graphs summary: %s", summary)
@@ -118,8 +123,9 @@ def main(argv=None):
     if args.output_dir:
         os.makedirs(args.output_dir, exist_ok=True)
         logging.info("Writing outputs to %s", args.output_dir)
-        for i, g in enumerate(graphs):
-            save_npz(g, os.path.join(args.output_dir, f"graph{i:06d}.npz"))
+        for i, (g, layers) in enumerate(pairs):
+            save_npz(g, os.path.join(args.output_dir, f"graph{i:06d}.npz"),
+                     layer=layers)
     return graphs
 
 

@@ -110,6 +110,7 @@ def batch_generator(
     shuffle: bool = True,
     seed: int = 0,
     packed: bool = False,
+    transform=None,
 ) -> Iterator[Graph]:
     """Infinite generator of static-shape batches.
 
@@ -126,6 +127,14 @@ def batch_generator(
 
     ``graphs`` may be a list of single graphs or one already-batched Graph
     (as the toy generators return) — the latter is split first.
+
+    ``transform``: optional ``transform(batch, indices) -> batch`` applied
+    to every emitted batch, with the source indices of the selected graphs
+    (into ``graphs``, in pack/stack order) — the hook for attaching
+    per-batch aggregation plans (blocked layer plans from per-graph layer
+    offsets, Pallas plans on packed batches) or partitioning the batch
+    across a mesh.  The transform must return static shapes per bucket or
+    every emission recompiles the train step.
     """
     if isinstance(graphs, Graph):
         graphs = unbatch_graphs(graphs)
@@ -137,11 +146,16 @@ def batch_generator(
         raise ValueError("fewer graphs than batch_size")
     rng = np.random.default_rng(seed)
 
-    def emit(spec: BucketSpec, chunk: List[Graph]) -> Graph:
+    def emit(spec: BucketSpec, sel) -> Graph:
+        chunk = [graphs[i] for i in sel]
         if packed:
-            return pack_graphs(chunk, n_node=spec.n_node * batch_size,
-                               n_edge=spec.n_edge * batch_size)
-        return batch_graphs(chunk, spec.n_node, spec.n_edge)
+            batch = pack_graphs(chunk, n_node=spec.n_node * batch_size,
+                                n_edge=spec.n_edge * batch_size)
+        else:
+            batch = batch_graphs(chunk, spec.n_node, spec.n_edge)
+        if transform is not None:
+            batch = transform(batch, list(sel))
+        return batch
 
     while True:
         plan = []
@@ -152,7 +166,7 @@ def batch_generator(
         if shuffle:
             rng.shuffle(plan)
         for spec, sel in plan:
-            yield emit(spec, [graphs[i] for i in sel])
+            yield emit(spec, sel)
 
 
 def padding_efficiency(graphs: Sequence[Graph], bucket,

@@ -200,8 +200,33 @@ def unbatch_graphs(g: Graph) -> list:
     return [jax.tree.map(lambda a: a[i], g) for i in range(n)]
 
 
+def layer_offsets_from_layers(layers, n_layers: Optional[int] = None) -> np.ndarray:
+    """Per-node detector-layer array (ascending) -> ``layer_offsets``
+    ``[n_layers + 1]`` for :func:`gnn_fpga_tpu.ops.blocked.attach_blocks_layered`.
+
+    ``layers`` covers the graph's REAL nodes (the per-node ``layer`` key
+    the prepare CLIs write into NPZ archives).  Pad nodes (appended past
+    the real nodes by batching) sit outside every layer range; no real
+    edge can reach them, so the blocked plan never maps them.
+    """
+    layers = np.asarray(layers)
+    if layers.ndim != 1:
+        raise ValueError("layers must be a per-node 1-D array")
+    if np.any(np.diff(layers) < 0):
+        raise ValueError(
+            "nodes must be sorted by layer for the blocked path "
+            "(prepare CLIs sort hits by layer before graph construction)")
+    if n_layers is None:
+        n_layers = int(layers.max()) + 1
+    off = np.searchsorted(layers, np.arange(n_layers + 1),
+                          side="left").astype(np.int64)
+    off[-1] = len(layers)
+    return off
+
+
 def attach_plans(g: Graph, tile_e: int = 256,
                  window: Optional[int] = None,
+                 window_seg: Optional[int] = None,
                  boundaries=None,
                  precompute: Optional[str] = None) -> Graph:
     """Attach Pallas aggregation plans (see ops/pallas/spmm.py) to a single
@@ -228,6 +253,7 @@ def attach_plans(g: Graph, tile_e: int = 256,
         raise ValueError("plans only apply to single packed graphs")
     plans = build_agg_plans(np.asarray(g.senders), np.asarray(g.receivers),
                             g.n_node, tile_e=tile_e, window=window,
+                            window_seg=window_seg,
                             boundaries=boundaries, precompute=precompute)
     return g.replace(plans=plans)
 

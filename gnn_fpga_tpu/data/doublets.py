@@ -145,6 +145,8 @@ def construct_graph(
     no_missing_hits: bool = False,
     n_det_layers: int = 10,
     rng: Optional[np.random.Generator] = None,
+    sort_by_layer: bool = False,
+    return_layers: bool = False,
 ) -> Optional[Graph]:
     """Build one hit graph from one event's hits DataFrame.
 
@@ -153,6 +155,13 @@ def construct_graph(
     list from per-layer-pair doublet selection, labels from ``label_rule``.
     Returns None when no segments survive (the muon builder's empty-graph
     skip, `Muon_graph.py:133-138`).
+
+    ``sort_by_layer`` orders nodes by detector layer — the invariant the
+    blocked aggregation path needs (`ops/blocked.py`); ``return_layers``
+    additionally returns the per-node layer array (saved into NPZ as the
+    ``layer`` key so loaded graphs can ride the blocked path).  With
+    ``return_layers`` the return value is ``(graph, layers)``
+    (``(None, None)`` when no segments survive).
     """
     if feature_names is None:
         feature_names = [schema.r, schema.phi, schema.z]
@@ -167,6 +176,8 @@ def construct_graph(
         rng = rng or np.random.default_rng()
         rng.shuffle(keys)
         hits = hits[hits[schema.label].isin(keys[:max_tracks])]
+    if sort_by_layer:
+        hits = hits.sort_values(schema.layer, kind="stable")
 
     n_hits = len(hits)
     layer_vals = hits[schema.layer].to_numpy()
@@ -196,16 +207,19 @@ def construct_graph(
 
     if not senders_parts:
         logging.info("skipping event with no segments")
-        return None
+        return (None, None) if return_layers else None
     senders = np.concatenate(senders_parts)
     receivers = np.concatenate(receivers_parts)
     if len(senders) == 0:
-        return None
+        return (None, None) if return_layers else None
 
     x = (hits[list(feature_names)].to_numpy(np.float64)
          / np.asarray(feature_scale)).astype(np.float32)
     y = label_rule(labels[senders], labels[receivers])
-    return from_coo(x, senders, receivers, y)
+    g = from_coo(x, senders, receivers, y)
+    if return_layers:
+        return g, layer_vals.astype(np.int32)
+    return g
 
 
 def segment_efficiency_purity(

