@@ -113,6 +113,94 @@ def run_mode(mode: str, device_counts, n_steps: int, hidden: int,
     return results
 
 
+# Public per-chip aggregate ICI bandwidth (GB/s), from
+# cloud.google.com/tpu/docs/system-architecture-tpu-vm ("Interchip
+# Interconnect BW"): v5e 1600 Gbps = 200 GB/s, v4 2400 Gbps = 300 GB/s,
+# v5p 4800 Gbps = 600 GB/s.
+_ICI_GBPS = {"TPU v5 lite": 200, "TPU v5e": 200, "TPU v4": 300,
+             "TPU v5": 600, "TPU v5p": 600, "TPU v6 lite": 448,
+             "TPU v6e": 448}
+
+
+def _connected_fullevent_graph(n_layers=20, n_tracks=792, k=12):
+    """ONE connected kNN graph at fullevent scale (V=15,840): the regime
+    where halo partitioning actually communicates — the packed-sector
+    fullevent graph is 36 disconnected components, so its halos are
+    near-zero (sectoring is embarrassingly parallel; the reference
+    exploits exactly that, `prepareGraphs.py:87-106`)."""
+    import jax
+    from gnn_fpga_tpu.data import toy2d
+
+    gs = toy2d.make_knn_segment_graphs(
+        toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks, seed=0),
+        1, k=k)
+    return jax.tree.map(lambda a: a[0], gs)
+
+
+def comm_model(step_ms_1chip: float, device_counts, hidden: int = 64,
+               n_iters: int = 6, dtype_bytes: int = 2):
+    """Analytic real-mesh scaling prediction for the partitioned
+    fullevent train step (VERDICT r4 #6): communication volume computed
+    from the ACTUAL halo plans (`PartitionedGraph.halo_size`), compute
+    time from the measured single-chip fused step.
+
+    Per device per iteration the halo exchange moves ``(P-1) * S * D *
+    dtype`` bytes over ICI in each of the two all_to_alls (the self
+    chunk stays local), and the backward mirrors both collectives; the
+    forward runs ``n_iters`` iterations plus the final edge scoring's
+    extend.  Efficiency is reported both without overlap
+    (t_comp/(t_comp + t_comm)) and with perfect overlap
+    (t_comp/max(t_comp, t_comm)) — the fused shard body is structured so
+    the V-sized matmuls carry no dependency on the collective
+    (`parallel/partition.py` body), putting the real machine between the
+    two curves.
+    """
+    import jax
+    import numpy as np
+
+    from gnn_fpga_tpu.parallel import partition
+
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    ici = next((v for k, v in _ICI_GBPS.items() if kind.startswith(k)),
+               None)
+    if ici is None:
+        ici = _ICI_GBPS["TPU v5e"]  # bench-chip assumption, stated below
+        kind += " (v5e ICI assumed)"
+    for name, g in (("sectors", _fullevent_graph()),
+                    ("connected", _connected_fullevent_graph())):
+        d = hidden + g.x.shape[-1]      # shortcut-concat width [H, X]
+        n_exchanges = 2 * (n_iters + 1)  # fwd iters + final extend, x2 bwd
+        out = {}
+        for p in device_counts:
+            if p < 2:
+                continue
+            pg = partition.partition_graph(g, p)
+            s = pg.halo_size
+            bytes_dev = 2 * (p - 1) * s * d * dtype_bytes * n_exchanges
+            t_comp = step_ms_1chip / p
+            t_comm = bytes_dev / (ici * 1e9) * 1e3  # ms
+            out[str(p)] = {
+                "halo_size": int(s),
+                "comm_mb_per_step_per_dev": round(bytes_dev / 1e6, 3),
+                "t_comm_ms": round(t_comm, 4),
+                "t_comp_ms": round(t_comp, 4),
+                "eff_no_overlap": round(t_comp / (t_comp + t_comm), 3),
+                "eff_overlap": round(t_comp / max(t_comp, t_comm), 3),
+            }
+        record = {
+            "metric": f"comm_model_partitioned_fullevent_{name}",
+            "unit": "fraction",
+            "step_ms_1chip": step_ms_1chip,
+            "ici_gbps_assumed": ici,
+            "device_kind": kind,
+            "per_device_counts": out,
+            "note": ("analytic: halo volume from real partition plans, "
+                     "compute from the measured single-chip fused step; "
+                     "real multi-chip hardware unavailable this round"),
+        }
+        print(json.dumps(record))
+
+
 def main():
     # The axon TPU plugin ignores the JAX_PLATFORMS env var; honour it
     # explicitly so `JAX_PLATFORMS=cpu` + a virtual device count actually
@@ -123,8 +211,13 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["dp", "partitioned", "both"],
+    ap.add_argument("--mode", choices=["dp", "partitioned", "both",
+                                       "comm-model"],
                     default="both")
+    ap.add_argument("--step-ms", type=float, default=None,
+                    help="comm-model: measured single-chip fullevent "
+                    "ms/step (default: read from BENCH_r04/r05 records "
+                    "is not attempted; pass explicitly)")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--hidden", type=int, default=32)
     ap.add_argument("--n-iters", type=int, default=4)
@@ -142,6 +235,14 @@ def main():
 
     n = len(jax.devices())
     counts = args.device_counts or [c for c in (1, 2, 4, 8) if c <= n]
+    if args.mode == "comm-model":
+        if args.step_ms is None:
+            raise SystemExit("--mode comm-model needs --step-ms "
+                             "(measured single-chip fullevent ms/step)")
+        # fullevent model config (bench.py): h=64, 6 iterations
+        comm_model(args.step_ms, args.device_counts or [2, 4, 8],
+                   hidden=64, n_iters=6)
+        return
     modes = ["dp", "partitioned"] if args.mode == "both" else [args.mode]
     for mode in modes:
         res = run_mode(mode, counts, args.steps, args.hidden, args.n_iters,

