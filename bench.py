@@ -226,44 +226,65 @@ def run_mu200(no_auc: bool):
 
 
 def run_fullevent(no_auc: bool):
-    """One packed V~16k/E~180k graph per step — the Pallas kernel regime.
+    """36 mu200-config phi sectors per step (V~15.8k / E~180k total) —
+    the full-event regime, measured on BOTH flagship layouts:
 
-    The packed graph is 36 mu200-config phi sectors (the reference's own
-    full-event decomposition: 8 recentered sectors per event,
-    `prepareGraphs.py:87-106,150`; a ~4-event superbatch here) packed
-    into ONE flat COO graph (`core.graph.pack_graphs`) so the whole
-    step is single kernel launches over V=15,840 / E=180,576 instead of
-    36 vmapped small ones.  Sector recentering is what keeps the task
-    learnable at this density: raw mu200-scale hit spacing (~1e-3 of
-    the coordinate range) is below bf16 feature resolution, exactly why
-    the reference re-centers phi per sector.
+    - **blocked b36** (headline since r5): the 36 sectors as a batched
+      ``[36, 440]`` Graph on the blocked layered-incidence path —
+      measured FASTEST for this workload (7.9 vs 14.3 ms/step pallas,
+      `benchmarks/probe_blocked.py --metric fullevent36`, 2026-08-21).
+      Sectored events decompose, and per-sector MXU blocks beat the
+      windowed kernels' ~W one-hot amplification.
+    - **pallas packed**: the same 36 sectors packed into ONE flat COO
+      graph with fused-kernel plans (best measured knobs: tile 512,
+      subtiles 8 — `benchmarks/probe_fullevent.py` sweep) — the path
+      that also serves CONNECTED large graphs, where batching into
+      sectors is not available and blocked's ``[nB*bn, V]`` broadcast
+      one-hot stops fitting.  Its roofline fields (attainable MFU given
+      the window amplification) quantify the remaining kernel headroom.
+    - **sparse**: the XLA gather/segment-sum path, the vs_baseline.
+
+    Sector recentering keeps the task learnable at this density: raw
+    mu200-scale hit spacing (~1e-3 of the coordinate range) is below
+    bf16 feature resolution, exactly why the reference re-centers phi
+    per sector (`prepareGraphs.py:87-106,150`).
     """
     from gnn_fpga_tpu.core import graph as graph_lib
     from gnn_fpga_tpu.data import toy2d
     from gnn_fpga_tpu.models import mpnn
+    from gnn_fpga_tpu.ops import blocked as blk
+    from gnn_fpga_tpu.ops.pallas import spmm as sp
     from gnn_fpga_tpu.train.trainer import TrainConfig
 
-    n_sectors, n_layers, n_tracks, k = 36, 20, 22, 12
+    n_sectors, n_layers, n_tracks, k, group = 36, 20, 22, 12, 4
     v = n_sectors * n_layers * n_tracks              # 15840
     e_real = n_sectors * (n_layers - 1) * n_tracks * k   # 180576
-    n_edge = -(-e_real // 256) * 256             # plans need tile multiples
+    tile_e = 512                     # best measured (probe_fullevent)
+    n_edge = -(-e_real // tile_e) * tile_e
     n_node = v + 8
-    n_steps = 24
+    n_steps = 16
+    cfg0 = toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks)
+    offs = toy2d.layer_offsets(cfg0)
+    block_e = -(-group * n_tracks * k // 8) * 8
 
-    def make(seed, plans=True):
+    def make(seed, layout):
         gs = toy2d.make_knn_segment_graphs(
             toy2d.Toy2DConfig(n_layers=n_layers, n_tracks=n_tracks,
                               seed=seed), n_sectors, k=k)
+        if layout == "blocked":
+            return blk.attach_blocks_layered(gs, offs, group=group,
+                                             block_e=block_e)
+        if layout == "batched":
+            return gs                # [36, ...] batch (dense-path eval)
         g = graph_lib.pack_graphs(graph_lib.unbatch_graphs(gs),
                                   n_node=n_node, n_edge=n_edge)
-        if plans:
-            # packed sectors are layer-major within each 440-node block:
-            # every sorted edge tile spans <~64 node ids, so the window
-            # auto-sizes to the 128 minimum — no boundaries needed
-            g = graph_lib.attach_plans(g, tile_e=256)
+        if layout == "pallas":
+            # packed sectors are layer-major within each 440-node
+            # block: sorted edge tiles span a narrow node range
+            g = graph_lib.attach_plans(g, tile_e=tile_e)
         return g
 
-    def run(agg, n_pretrain):
+    def run(agg, n_pretrain, layout=None):
         mcfg = mpnn.SegmentClassifierConfig(
             input_dim=2, hidden_dim=64, n_iters=6,
             compute_dtype=jnp.bfloat16, aggregation=agg)
@@ -271,33 +292,41 @@ def run_fullevent(no_auc: bool):
                                             pos_weight=8.0))
 
         def make_stack(r):
-            return stack_device([make(r * n_steps + s, plans=agg == "pallas")
+            return stack_device([make(r * n_steps + s, layout or agg)
                                  for s in range(n_steps)])
 
         dt, edges, losses = timed_run(tr, make_stack, n_pretrain, n_steps)
         return tr, mcfg, dt, edges, losses
 
-    # comparison path first (XLA sparse), minimal pretrain: timing only
-    _, _, dt_sparse, edges_sparse, _ = run("sparse", n_pretrain=0)
-    # ~600 total steps crosses the 0.93 AUC knee at this config
-    tr, mcfg, dt, edges, losses = run("pallas", n_pretrain=20)
+    sp.DEFAULT_SUBTILES = 8          # best measured (probe_fullevent)
+    # comparison paths, minimal pretrain: timing only
+    _, _, dt_sparse, edges_sparse, _ = run("sparse", n_pretrain=0,
+                                           layout="packed")
+    _, _, dt_pal, edges_pal, _ = run("pallas", n_pretrain=0)
+    sp.DEFAULT_SUBTILES = 4
+    # headline: blocked b36, trained past the 0.93 AUC knee with margin
+    # (measured: 528 steps -> AUC 0.936; 720 -> ~0.95 at this config)
+    tr, mcfg, dt, edges, losses = run("blocked", n_pretrain=40)
+    pal_rate = edges_pal / dt_pal
     record = {
         "metric": "train_edges_per_s_per_chip_fullevent_v16k_h64_i6",
         "value": round(edges / dt, 1),
         "unit": "edges/s",
         "vs_baseline": round((edges / dt) / (edges_sparse / dt_sparse), 2),
         "baseline": "xla_sparse_same_chip",
-        "aggregation": "pallas",
+        "aggregation": f"blocked_g{group}_b36",
         "sparse_ms_per_step": round(dt_sparse / (4 * n_steps) * 1e3, 3),
+        "pallas_ms_per_step": round(dt_pal / (4 * n_steps) * 1e3, 3),
+        "pallas_edges_per_s": round(pal_rate, 1),
         "final_loss": round(float(losses[-1]), 4),
     }
     flop_fields(record, mcfg, v, e_real, 4 * n_steps / dt)
-    # Attainable-bound (roofline) for the fused path (VERDICT r4 #2):
-    # the MFU this design would reach at MXU peak / full HBM bandwidth,
-    # given its ~W one-hot FLOP amplification — the closure criterion
-    # for "tune to speed-of-light" (SURVEY §7 step 5).
+    # Attainable-bound (roofline) for the packed fused path (VERDICT r4
+    # #2): the MFU that design would reach at MXU peak / full HBM
+    # bandwidth given its ~W one-hot FLOP amplification — the closure
+    # criterion for "tune to speed-of-light" (SURVEY §7 step 5).
     from gnn_fpga_tpu.utils import flops as fl
-    plan = make(0, plans=True).plans.recv
+    plan = make(0, "pallas").plans.recv
     useful_step = fl.train_step_flops(
         fl.segment_classifier_flops(v, e_real, 64, 6, 2))
     executed, hbm = fl.fused_step_cost(
@@ -305,15 +334,28 @@ def run_fullevent(no_auc: bool):
         d=66, n_iters=6, prebuilt=plan.prebuilt)
     att, bound, t_mxu, t_hbm = fl.attainable(useful_step, executed, hbm)
     if att is not None:
-        record["attainable_mfu"] = round(att, 5)
-        record["bound"] = bound
-        record["bound_ms"] = round(max(t_mxu, t_hbm) * 1e3, 3)
-        record["kernel_efficiency"] = round(
-            (record["mfu"] or 0.0) / att, 3)
+        pm = fl.mfu(useful_step * (4 * n_steps / dt_pal))
+        record["pallas_mfu"] = None if pm is None else round(pm, 5)
+        record["pallas_attainable_mfu"] = round(att, 5)
+        record["pallas_bound"] = bound
+        record["pallas_bound_ms"] = round(max(t_mxu, t_hbm) * 1e3, 3)
+        if pm is not None:
+            record["pallas_kernel_efficiency"] = round(pm / att, 3)
     if not no_auc:
-        # two independent held-out packed graphs (~360k edges) de-luck
-        # the pass/fail gate (VERDICT r4 weak #7)
-        gated_auc(tr, [make(990001, plans=True), make(991001, plans=True)],
+        # blocked-trained params evaluate on the dense path (identical
+        # logits, parity-tested); TWO held-out 36-sector batches
+        # (~360k edges) de-luck the pass/fail gate (VERDICT r4 weak #7)
+        eval_cfg = mpnn.SegmentClassifierConfig(
+            input_dim=2, hidden_dim=64, n_iters=6,
+            compute_dtype=jnp.bfloat16, aggregation="dense")
+        import io, contextlib
+        from gnn_fpga_tpu.train.trainer import Trainer
+        with contextlib.redirect_stdout(io.StringIO()):
+            ev = Trainer(
+                lambda p, gr, m: mpnn.segment_classifier_logits(
+                    p, gr, eval_cfg, m),
+                tr.params, TrainConfig())
+        gated_auc(ev, [make(990001, "batched"), make(991001, "batched")],
                   0.93, record)
     print(json.dumps(record), flush=True)
 

@@ -232,7 +232,11 @@ class SegmentClassifierConfig:
     # fused windowed SpMM kernels for large packed graphs (requires
     # graph.plans, see ops/pallas/spmm.py), "auto" = blocked if blocks
     # attached, else pallas if plans attached, else dense iff
-    # n_node * n_edge fits a small one-hot.
+    # n_node * n_edge fits a small one-hot.  The blocked-over-plans
+    # preference is MEASURED, not assumed: at the fullevent workload the
+    # blocked 36-sector batch runs 7.90 ms/step vs 14.3 ms for the same
+    # work packed onto the fused kernels (probe_blocked fullevent36,
+    # 2026-08-21; pinned in tests/test_routing.py).
     aggregation: str = "auto"
     # Rematerialise the message-passing iteration in the backward pass
     # (jax.checkpoint on the scan body).  The train step at large-E is

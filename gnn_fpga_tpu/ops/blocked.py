@@ -31,13 +31,22 @@ Measured on the bench chip (TPU v5e, bf16, full train step, 2026-08-20,
     scale                      dense    blocked g=1/2/4       sparse
     sector V=440  E=5016      3.70ms   3.28 / 2.92 / 2.64ms   40.4ms
     fullevent V=3200 E=36480  (V*E too big)     8.54ms (g=4)  39.4ms
+    fullevent36 b=36 sectors  (slow compile)    7.90ms (g=4)  —
+      (= the bench fullevent workload, 36 x V=440/E=5016 per step;
+       g=2: 8.74ms.  vs 14.3ms for the same work packed into one
+       V=15.8k graph on the fused Pallas path -> blocked is the
+       measured fullevent headline and auto prefers blocks over plans;
+       measured 2026-08-21, probe_blocked --metric fullevent36)
 
 ms/step, 16-graph (sector) / 2-graph (fullevent) batches, h=64, 6
 iterations.  At sector scale blocked g=4 is 1.4x dense and 15x sparse;
 group>4 loses again (bn grows past the MXU tile while the FLOP saving
 shrinks).  The win over dense grows with V (the one-hot's V*E product);
 past `models/mpnn.py::_DENSE_AUTO_LIMIT` dense is out and blocked is
-4.6x sparse.
+4.6x sparse.  Scale limit: the broadcast/reduce one-hot ``G`` is
+``[nB*bn, V]`` — on a single PACKED graph at V~16k that is ~640MB, so
+large sectored workloads ride blocked as a BATCH (each graph at sector
+V), and truly connected large graphs route to the Pallas plans.
 
 Plan construction is host-side numpy (`attach_blocks_layered`), fully
 vectorised over the batch; the plan is index arrays only, so it stacks /

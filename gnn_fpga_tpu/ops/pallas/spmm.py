@@ -83,6 +83,34 @@ config.  Replacing the rank scatter with the seg-window one-hot (already
 needed for the gather side) removed one build of three and all scatter
 fixup launches — that rewrite, not prebuilding, was the bigger lever.
 
+Roofline + knob-sweep closure (2026-08-21, TPU v5e, bench fullevent
+config V=15848 / E=180736 / D=66 / H=64, bf16; `utils/flops.py::
+fused_step_cost`, `benchmarks/probe_fullevent.py`):
+
+- Attainable bound: ~596 executed MXU GFLOP/train-step for 75 useful
+  (the W=128 one-hot amplification) -> 3.02 ms/step at peak, MXU-bound
+  (HBM model: 0.89 ms).  Attainable MFU 12.6%.
+- Measured fused kernel alone (probe_iter --shape bench, bf16):
+  fwd 1047 us, fwd+bwd 2099 us per iteration (theory ~180/480 us) —
+  ~22% of the bound; full step 14.3 ms.
+- Knob sweep (full train step, ms/step): tile 256->512 gains 7%,
+  prebuilt int8 gains 6-7%, subtiles 4->8/16 is noise; best combo
+  tile=512 sub=8 int8 = 14.41 vs 16.52 baseline on the 8-step harness
+  (~1.15x).  The residual ~4x gap to the bound is per-subtile Mosaic
+  overhead (window dynamic-slices, one-hot builds, f32 accumulate
+  read-modify-writes serialized against the MXU), not launch count,
+  operand streaming, or transcendentals; the earlier wide-table
+  negative result (below) rules out matmul-issue count as the driver.
+- WORKLOAD routing consequence: the fullevent bench's 36-sector batch
+  runs 7.90 ms/step on the blocked layered path (`ops/blocked.py`,
+  probe_blocked fullevent36) vs 14.3 ms packed-pallas — sectored
+  (disconnected) events decompose and blocked's per-sector MXU blocks
+  beat the window amplification; the fused kernels remain the path for
+  CONNECTED large graphs (single mu200 full event without sectoring,
+  and the per-shard partitioned regime), where batching is unavailable
+  and blocked's [nB*bn, V] broadcast one-hot stops fitting.  auto
+  therefore prefers blocks over plans (pinned in tests/test_routing).
+
 Crossover vs the dense-incidence path: at phi-sector scale (V=440,
 E=5016) the one-hot bmm on the MXU runs the full train step 6-8x faster
 than EITHER sparse path (see models/mpnn.py _DENSE_AUTO_LIMIT); these
