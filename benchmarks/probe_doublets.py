@@ -18,6 +18,20 @@ doublet graphs, with an AUC gate on held-out events.
 
 Usage: python benchmarks/probe_doublets.py [--events-per-step 4
            --n-steps 8 --particles 400]
+
+Measured record (2026-08-21, TPU v5e, bf16, --epochs 200; also in
+PROBES_r05.json): pallas 11.39 ms/step vs XLA sparse 38.70 (3.4x),
+4.54M edges/s on V=16,000-real-node / ~51.7k-real-edge steps (32
+recentered phi sectors of 4 mu200-scale events), purity 0.269,
+construction 0.13 s/event single-threaded (the reference's pandas
+pipeline took ~21 min 40 s per mu200 file,
+`GraphConstructionDev_mu200.ipynb:cell9`), held-out AUC 0.9701 (gate
+0.93).  Note the lower edges/s than the kNN-toy fullevent record: the
+doublet graphs carry ~3.5x fewer edges per node-table (E/V ~ 3.2 vs
+11.4), so per-step time is node-table-bound while the edge count is
+smaller; per-EDGE kernel cost matches the toy path.  Convergence needs
+the cosine schedule (constant 3e-3 plateaued at AUC ~0.78; cosine from
+5e-3 over 1600 steps reached 0.97).
 """
 
 from __future__ import annotations
@@ -145,16 +159,17 @@ def main():
 
     def run(agg, epochs):
         import io, contextlib
-        g0 = batches[0]
         mcfg = mpnn.SegmentClassifierConfig(
             input_dim=3, hidden_dim=64, n_iters=6,
             compute_dtype=jnp.bfloat16, aggregation=agg)
         params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
+        tcfg = (TrainConfig(learning_rate=5e-3, lr_schedule="cosine",
+                            decay_steps=epochs * args.n_steps,
+                            pos_weight=max((1 - purity) / purity, 1.0))
+                if epochs > 1 else TrainConfig())
         with contextlib.redirect_stdout(io.StringIO()):
             tr = Trainer(lambda p, gr, m: mpnn.segment_classifier_logits(
-                p, gr, mcfg, m), params,
-                TrainConfig(learning_rate=3e-3,
-                            pos_weight=max((1 - purity) / purity, 1.0)))
+                p, gr, mcfg, m), params, tcfg)
         use = stacked if agg == "pallas" else stacked.replace(plans=None)
         for _ in range(epochs - 1):
             tr.run_steps(use)

@@ -10,6 +10,14 @@ construction style is exercised on hardware, not only in the slow CPU
 gate (VERDICT r4 weak #9).
 
 Usage: python benchmarks/probe_windowcut.py [--epochs 64]
+
+Measured record (2026-08-21, TPU v5e, f32, 64 epochs; also in
+PROBES_r05.json): 6.53M edges/s, 0.42 ms/step (b=64 all-pairs graphs),
+accuracy 0.9831 / precision 0.9893 / recall 0.9903 / AUC 0.9987 —
+matching the CPU convergence gate (`tests/test_reference_scale.py`) and
+the reference's 0.99-class full-event results on chip.  bf16 compute
+loses the window signal (AUC 0.973): the discriminating coordinate
+deltas sit below bf16 feature resolution, hence f32 here.
 """
 
 from __future__ import annotations
@@ -41,9 +49,12 @@ def main():
     cfg = toy2d.Toy2DConfig(n_layers=10, n_tracks=4, seed=0)
     g = toy2d.make_window_segment_graphs(cfg, args.n_events)
     steps = args.n_events // args.batch
+    # f32 compute: the window-cut discrimination lives at coordinate
+    # deltas below bf16 feature resolution (measured on-chip: bf16 AUC
+    # 0.973 vs f32 0.999 — the same effect that forces the reference's
+    # per-sector phi recentering)
     mcfg = mpnn.SegmentClassifierConfig(input_dim=3, hidden_dim=32,
-                                        n_iters=4,
-                                        compute_dtype=jnp.bfloat16)
+                                        n_iters=4)
     params = mpnn.init_segment_classifier(jax.random.PRNGKey(0), mcfg)
     with contextlib.redirect_stdout(io.StringIO()):
         tr = Trainer(
