@@ -64,6 +64,15 @@ builds at both sizes here.)  The [E, H] pre-activation and [E] scores
 never leave VMEM; the VJP recomputes them per tile from V-sized
 residuals, so backward HBM traffic is node tables only.
 
+Recompute-vs-stash ablation (2026-08-21, bench shape V=15848/E=180736/
+D=66/H=64 bf16, `probe_iter --ablate-stash`): a backward variant fed
+STASHED [E] sigmoid scores measures 1363 vs 1386 us — 1.6% — before
+paying the forward's extra [E] f32 write and HBM round-trip.  Expected
+from structure: ``dpre = dz * (1 - z^2)`` needs ``z``, which needs the
+pa/pb gathers — the dominant recompute — regardless of the scores; the
+stash can only remove the [T, H] x [H, 1] contraction and the sigmoid.
+Recompute kept.
+
 Negative result (measured 2026-08-20, kept for the record): a
 "wide-table" variant — lane-concatenating [pa | h] / [pb | h | gmi]
 so each one-hot issues ONE wide gather matmul instead of 2-3, and the
