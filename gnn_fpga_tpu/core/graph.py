@@ -16,10 +16,12 @@ Gathers (``x[senders]``) replace ``bmm(Ro^T, X)`` and segment-sums replace
 ``bmm(Ri*e, ...)`` — see `gnn_fpga_tpu/ops/segment.py`.
 
 Graphs are padded to static shapes for XLA:  padded edges have
-``edge_mask == 0`` and point at the *pad node* (the last padded node slot,
-whose features are zero), so a masked gather reproduces exactly the all-zero
-rows that the reference's zero-padded dense ``Ri/Ro`` produce
-(`/root/reference/gnn/trainSegmentClassifier.py:66-95` ``merge_graphs``).
+``edge_mask == 0`` and point at the *pad node* (the first padded node slot,
+whose features are zero — first, not last, so Pallas gather windows stay
+narrow across the real->pad transition), so a masked gather reproduces
+exactly the all-zero rows that the reference's zero-padded dense ``Ri/Ro``
+produce (`/root/reference/gnn/trainSegmentClassifier.py:66-95`
+``merge_graphs``).
 """
 
 from __future__ import annotations
