@@ -235,3 +235,18 @@ def test_bucket_trailing_undersized_pool_warns():
         gen = batching.batch_generator(gs, batch_size=4, bucket=specs, seed=0)
         next(gen)
     assert any("excluded from every epoch" in str(x.message) for x in w)
+
+
+def test_layer_offsets_from_layers():
+    """NPZ per-node layer arrays -> blocked-path offsets (the train
+    CLI's loading path for --aggregation blocked)."""
+    layers = np.array([0, 0, 0, 1, 1, 3, 3, 3])   # layer 2 empty
+    off = G.layer_offsets_from_layers(layers)
+    np.testing.assert_array_equal(off, [0, 3, 5, 5, 8])
+    # pinned n_layers extends the table with empty top layers
+    off6 = G.layer_offsets_from_layers(layers, n_layers=6)
+    np.testing.assert_array_equal(off6, [0, 3, 5, 5, 8, 8, 8])
+    with np.testing.assert_raises(ValueError):
+        G.layer_offsets_from_layers(np.array([1, 0, 2]))  # unsorted
+    with np.testing.assert_raises(ValueError):
+        G.layer_offsets_from_layers(layers[None])         # not 1-D
